@@ -1,0 +1,57 @@
+"""Model registry.
+
+The reference resolves models dynamically by name
+(`importlib.import_module('model.' + args.model_name)`, reference
+train.py:31-33, test.py:29-31) and requires each model module to export the
+trio `get_model / get_loss / weights_init`. We keep that plugin contract but
+make it explicit: a model registers a `ModelDef` under its name; drivers look
+it up with `get_model(args)`.
+
+A `ModelDef` is functional (TPU-idiomatic) rather than an nn.Module:
+  init(rng, args) -> params pytree (flat dict, torch-compatible names)
+  apply(params, lr, args, **kw) -> SR output   (pure, jit/vmap/shard-able)
+  loss(sr, hr) -> scalar
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict
+
+MODEL_REGISTRY: Dict[str, "ModelDef"] = {}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelDef:
+    name: str
+    init: Callable[..., Any]
+    apply: Callable[..., Any]
+    loss: Callable[..., Any]
+    param_count: Callable[[Any], int] = lambda p: sum(int(v.size) for v in p.values())
+
+
+def register_model(model: ModelDef) -> ModelDef:
+    MODEL_REGISTRY[model.name] = model
+    return model
+
+
+def get_model(args) -> ModelDef:
+    """Resolve a model by `args.model_name` (reference train.py:31-33)."""
+    name = args.model_name if hasattr(args, "model_name") else str(args)
+    try:
+        return MODEL_REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown model {name!r}; registered: {sorted(MODEL_REGISTRY)}") from None
+
+
+def get_loss(args) -> Callable:
+    """Reference-contract loss accessor (reference model/LFT.py:269-277)."""
+    return get_model(args).loss
+
+
+def weights_init(params):
+    """Reference-contract no-op (reference model/LFT.py:280-282): the real
+    initialization happens in `ModelDef.init`, mirroring how the reference
+    relies on torch's default init."""
+    return params

@@ -1,0 +1,118 @@
+"""Full-model golden-parity tests: our functional JAX LFT vs the reference
+torch model (fixtures from tools/gen_goldens.py), plus checkpoint interop."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lft_tpu.config import Args
+from lft_tpu.models import lft
+from lft_tpu.registry import get_model
+from lft_tpu.utils import checkpoint as ckpt
+
+
+def _params_from_golden(g):
+    return {k[len("param."):]: jnp.asarray(g[k]) for k in g.files
+            if k.startswith("param.")}
+
+
+@pytest.mark.parametrize("name", ["model_s2_c16.npz", "model_s4_c16.npz",
+                                  "model_s2_c64.npz"])
+@pytest.mark.parametrize("impl", ["dense", "tiled"])
+def test_forward_parity(goldens, name, impl):
+    g = goldens(name)
+    a, s, c, h, w, b = [int(v) for v in g["meta"]]
+    args = Args(angRes=a, scale_factor=s, channels=c)
+    params = _params_from_golden(g)
+    ckpt.validate_params(params, lft.param_shapes(c, s))
+    out = lft.forward(params, jnp.asarray(g["x"]), args, attention_impl=impl)
+    ref = g["out"]
+    diff = np.abs(np.asarray(out) - ref).max()
+    assert diff < 2e-5, f"{name}/{impl}: max abs diff {diff}"
+
+
+def test_registry_contract():
+    args = Args(model_name="LFT", channels=16, scale_factor=2)
+    model = get_model(args)
+    p = model.init(jax.random.PRNGKey(0), args)
+    assert model.param_count(p) > 0
+    x = jnp.zeros((1, 1, 40, 40), jnp.float32)
+    out = model.apply(p, x, args)
+    assert out.shape == (1, 1, 80, 80)
+    loss = model.loss(out, jnp.zeros_like(out))
+    assert np.isfinite(float(loss))
+
+
+def test_param_count_full_size():
+    """Reference reports ~1.11M (2x) / 1.16M (4x) parameters
+    (BASELINE.md, Figs/LFT_Efficiency.png)."""
+    for s, lo, hi in [(2, 1.09e6, 1.13e6), (4, 1.14e6, 1.18e6)]:
+        args = Args(channels=64, scale_factor=s)
+        shapes = lft.param_shapes(64, s)
+        n = sum(int(np.prod(v)) for v in shapes.values())
+        assert lo < n < hi, (s, n)
+
+
+def test_init_matches_shapes():
+    args = Args(channels=16, scale_factor=2)
+    p = lft.init_params(jax.random.PRNGKey(1), args)
+    shapes = lft.param_shapes(16, 2)
+    assert set(p) == set(shapes)
+    for k, v in p.items():
+        assert tuple(v.shape) == tuple(shapes[k]), k
+    # LayerNorm affine init: weight 1, bias 0
+    assert float(p["altblock.0.ang_trans.norm.weight"].min()) == 1.0
+    assert float(p["altblock.0.ang_trans.norm.bias"].max()) == 0.0
+
+
+def test_checkpoint_roundtrip_npz():
+    args = Args(channels=16, scale_factor=2)
+    p = lft.init_params(jax.random.PRNGKey(2), args)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.npz")
+        ckpt.save_checkpoint(path, {k: np.asarray(v) for k, v in p.items()},
+                             epoch=7, opt_state_flat={"mu/x": np.ones(3)})
+        params, epoch, opt = ckpt.load_checkpoint(path)
+        assert epoch == 7
+        assert set(params) == set(p)
+        np.testing.assert_array_equal(params["conv_init0.0.weight"],
+                                      np.asarray(p["conv_init0.0.weight"]))
+        np.testing.assert_array_equal(opt["mu/x"], np.ones(3))
+
+
+def test_pth_roundtrip():
+    torch = pytest.importorskip("torch")
+    args = Args(channels=16, scale_factor=2)
+    p = {k: np.asarray(v) for k, v in
+         lft.init_params(jax.random.PRNGKey(3), args).items()}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.pth")
+        ckpt.params_to_pth(p, path, epoch=5)
+        params, epoch = ckpt.pth_to_params(path)
+        assert epoch == 5
+        for k in p:
+            np.testing.assert_array_equal(params[k], p[k])
+
+
+def test_pth_module_prefix():
+    """Reference checkpoints may carry DataParallel 'module.' prefixes
+    (reference train.py:45-59)."""
+    torch = pytest.importorskip("torch")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.pth")
+        state = {"module.w": torch.ones(2, 2)}
+        torch.save({"epoch": 3, "state_dict": state}, path)
+        params, epoch = ckpt.pth_to_params(path)
+        assert set(params) == {"w"} and epoch == 3
+
+
+def test_validate_params_raises():
+    shapes = {"a": (2, 2), "b": (3,)}
+    with pytest.raises(ValueError, match="missing"):
+        ckpt.validate_params({"a": np.zeros((2, 2))}, shapes)
+    with pytest.raises(ValueError, match="shapes"):
+        ckpt.validate_params({"a": np.zeros((2, 3)), "b": np.zeros(3)}, shapes)

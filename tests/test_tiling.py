@@ -1,0 +1,47 @@
+"""Golden-parity tests for LFdivide / ImageExtend / LFintegrate
+(reference utils/utils.py:91-157)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lft_tpu.ops import tiling
+
+
+def test_image_extend(goldens):
+    g = goldens("tiling.npz")
+    ours = tiling.image_extend(jnp.asarray(g["ext_im"]), 3)
+    np.testing.assert_array_equal(np.asarray(ours), g["ext_out"])
+
+
+def test_lf_divide(goldens):
+    g = goldens("tiling.npz")
+    a, h0, w0, patch, stride = g["div_meta"]
+    ours = tiling.lf_divide(jnp.asarray(g["div_mosaic"]), int(a), int(patch), int(stride))
+    np.testing.assert_allclose(np.asarray(ours), g["div_out"], atol=0)
+
+
+def test_lf_integrate(goldens):
+    g = goldens("tiling.npz")
+    a, h0, w0, patch, stride = g["div_meta"]
+    ours = tiling.lf_integrate(jnp.asarray(g["div_out"]), int(a), int(patch),
+                               int(stride), int(h0), int(w0))
+    np.testing.assert_allclose(np.asarray(ours), g["int_out"], atol=0)
+
+
+def test_divide_integrate_roundtrip():
+    """Dividing then integrating (scale 1) must reproduce the scene exactly."""
+    rng = np.random.RandomState(0)
+    a, h0, w0, patch, stride = 5, 33, 29, 16, 8
+    mosaic = rng.rand(a * h0, a * w0).astype(np.float32)
+    sub = tiling.lf_divide(jnp.asarray(mosaic), a, patch, stride)
+    out = tiling.lf_integrate(sub, a, patch, stride, h0, w0)
+    views = mosaic.reshape(a, h0, a, w0).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), views, atol=0)
+
+
+def test_views_4d_to_mosaic():
+    rng = np.random.RandomState(1)
+    v = rng.rand(5, 5, 3, 4).astype(np.float32)
+    m = tiling.views_4d_to_mosaic(jnp.asarray(v))
+    assert m.shape == (15, 20)
+    np.testing.assert_array_equal(np.asarray(m)[3 * 2:3 * 3, 4 * 4:4 * 5], v[2, 4])
