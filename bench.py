@@ -1,0 +1,117 @@
+"""Benchmark: full-scene 5x5 4x LF super-resolution throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Workload (BASELINE.json north-star): tiled inference of a synthetic
+5x5-view scene (128x128 LR per view -> 512x512 HR per view) through the
+flagship LFT model (64 channels, 4x), i.e. LFdivide -> batched network ->
+LFintegrate producing 5*512 x 5*512 = 6.55 HR SAI-megapixels per scene.
+
+`value` = steady-state HR SAI-megapixels/second on one chip with the
+TPU-native pipeline (one jit region, batched patches, tiled halo attention).
+
+`vs_baseline` = value / baseline_value, where the baseline is the
+REFERENCE'S EXECUTION STRATEGY run on the same chip: serial batch-1 patch
+loop with one device dispatch per patch and dense-masked O((hw)^2) spatial
+attention (reference test.py:88-95, model/LFT.py:147-177). Same hardware,
+same model, same scene -- the ratio isolates the framework design.
+(The reference publishes no wall-clock numbers to compare against,
+SURVEY.md §6; its repo as shipped even runs on CPU, reference test.py:20.)
+
+Usage: python bench.py [--quick] [--dtype float32|bfloat16] [--impl auto|...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer reps")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "dense", "tiled", "pallas"])
+    ap.add_argument("--scene", type=int, default=128, help="LR view size")
+    ap.add_argument("--eval_batch", type=int, default=16)
+    ap.add_argument("--skip_baseline", action="store_true")
+    ns = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from lft_tpu.config import Args
+    from lft_tpu.registry import get_model
+    from lft_tpu.inference.tiled import make_scene_sr
+
+    args = Args(angRes=5, scale_factor=4, channels=64, model_name="LFT",
+                dtype=ns.dtype, attention_impl=ns.impl,
+                eval_batch=ns.eval_batch)
+    A, S = args.angRes, args.scale_factor
+    h0 = w0 = ns.scene
+    model = get_model(args)
+    params = model.init(jax.random.PRNGKey(0), args)
+    scene = np.random.RandomState(0).rand(A * h0, A * w0).astype(np.float32)
+    scene_j = jnp.asarray(scene)
+    out_mpx = (A * h0 * S) * (A * w0 * S) / 1e6
+
+    def force(x):
+        """Force completion with a 4-byte D2H fetch. (On the tunneled axon
+        platform block_until_ready can return early and full-array transfers
+        are extremely slow, so scalar-fetch is the only reliable fence.)"""
+        return float(jnp.sum(x))
+
+    # --- TPU-native pipeline -------------------------------------------------
+    sr_fn = make_scene_sr(model.apply, args, h0, w0, eval_batch=ns.eval_batch)
+    force(sr_fn(params, scene_j))               # compile + warm
+    reps = 2 if ns.quick else 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        force(sr_fn(params, scene_j))
+    dt = (time.perf_counter() - t0) / reps
+    value = out_mpx / dt
+
+    # --- reference-strategy baseline: serial batch-1 patches, dense mask ----
+    vs_baseline = float("nan")
+    if not ns.skip_baseline:
+        from lft_tpu.ops.tiling import lf_divide, lf_integrate
+        patch, stride = args.patch_size_for_test, args.stride_for_test
+        base_args = Args(angRes=5, scale_factor=4, channels=64,
+                         attention_impl="dense", dtype="float32")
+        fwd1 = jax.jit(lambda p, x: model.apply(p, x, base_args))
+        sub = lf_divide(scene_j, A, patch, stride)
+        nU, nV = sub.shape[0], sub.shape[1]
+        force(fwd1(params, sub[0, 0][None, None]))  # compile
+        t0 = time.perf_counter()
+        for u in range(nU):                     # serial, batch 1, one
+            for v in range(nV):                 # dispatch + sync per patch,
+                force(fwd1(params, sub[u, v][None, None]))  # like test.py:88-95
+        base_dt = time.perf_counter() - t0
+        base_value = out_mpx / base_dt
+        vs_baseline = value / base_value
+
+    print(json.dumps({
+        "metric": "LFT 5x5 4x full-scene SR throughput (HR SAI-MPx/s/chip)",
+        "value": round(value, 3),
+        "unit": "SAI-MPx/s/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline == vs_baseline else None,
+        "detail": {
+            "scene_lr_view": [h0, w0],
+            "out_mpx_per_scene": round(out_mpx, 3),
+            "sec_per_scene": round(dt, 4),
+            "dtype": ns.dtype, "impl": ns.impl,
+            "eval_batch": ns.eval_batch,
+            "baseline": "reference execution strategy on same chip "
+                        "(serial batch-1 patch loop, dense attention mask)",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

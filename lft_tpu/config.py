@@ -52,6 +52,7 @@ class Args:
     local_rank: int = 0
 
     # New, TPU-specific flags (absent from the reference).
+    platform: str = "auto"            # auto | cpu | tpu: jax backend override
     seed: int = 0
     dtype: str = "float32"            # compute dtype: float32 | bfloat16
     matmul_precision: str = "default"  # default | high | highest
@@ -98,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="num workers of the data loader")
     p.add_argument("--local_rank", dest="local_rank", type=int, default=d.local_rank)
     # TPU-native extras
+    p.add_argument("--platform", type=str, default=d.platform,
+                   choices=["auto", "cpu", "tpu"],
+                   help="force the jax backend (the reference hardcodes CPU, "
+                        "reference train.py:20; 'auto' uses jax's default)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--dtype", type=str, default=d.dtype,
                    choices=["float32", "bfloat16"])
@@ -112,6 +117,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--log_every", type=int, default=d.log_every)
     return p
+
+
+def apply_platform(args: Args) -> None:
+    """Apply `--platform` before any jax backend initialization. (Plain
+    env-var overrides can be clobbered by site hooks; the config update is
+    authoritative.)"""
+    if args.platform and args.platform != "auto":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
 
 def parse_args(argv=None) -> Args:

@@ -1,0 +1,66 @@
+"""Subprocess body for test_dp_training_matches_single_device: shard_map DP
+over virtual CPU devices must reproduce single-device training numerics.
+Run standalone: python tests/_dp_check.py"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from lft_tpu.config import Args  # noqa: E402
+from lft_tpu.registry import get_model  # noqa: E402
+from lft_tpu.parallel.mesh import (get_mesh, make_dp_train_step,  # noqa: E402
+                                   put_global_batch)
+from lft_tpu.training.trainer import make_train_step  # noqa: E402
+
+
+def main():
+    assert jax.device_count() >= 4
+    args = Args(angRes=5, scale_factor=2, channels=8, batch_size=8)
+    model = get_model(args)
+    # SGD isolates the sharding math: Adam's m/sqrt(v) amplifies float
+    # reduction-order noise on near-zero grads into ~lr-sized param diffs.
+    optimizer = optax.sgd(0.1)
+    params0 = {k: np.asarray(v) for k, v in
+               model.init(jax.random.PRNGKey(0), args).items()}
+
+    def fresh():
+        p = {k: jnp.asarray(v) for k, v in params0.items()}
+        return p, optimizer.init(p)
+
+    rng = np.random.RandomState(0)
+    data = rng.rand(8, 1, 40, 40).astype(np.float32)
+    label = rng.rand(8, 1, 80, 80).astype(np.float32)
+
+    step1 = make_train_step(model, optimizer, args, with_metrics=False)
+    p1, o1 = fresh()
+    p1, o1, _ = step1(p1, o1, jnp.asarray(data), jnp.asarray(label))
+    p1, o1, aux1b = step1(p1, o1, jnp.asarray(data), jnp.asarray(label))
+
+    mesh = get_mesh(4)
+    stepN = make_dp_train_step(model, optimizer, args, mesh, with_metrics=False)
+    pN, oN = fresh()
+    pN, oN, _ = stepN(pN, oN, *put_global_batch(mesh, data, label))
+    pN, oN, auxNb = stepN(pN, oN, *put_global_batch(mesh, data, label))
+
+    assert abs(float(aux1b["loss"]) - float(auxNb["loss"])) < 1e-6, (
+        float(aux1b["loss"]), float(auxNb["loss"]))
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(pN[k]),
+                                   atol=1e-6, err_msg=k)
+    print("DP == single-device: OK")
+
+
+if __name__ == "__main__":
+    main()
