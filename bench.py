@@ -9,13 +9,17 @@ flagship LFT model (64 channels, 4x), i.e. LFdivide -> batched network ->
 LFintegrate producing 5*512 x 5*512 = 6.55 HR SAI-megapixels per scene.
 
 `value` = steady-state HR SAI-megapixels/second on one chip with the
-TPU-native pipeline (one jit region, batched patches, tiled halo attention).
+TPU-native pipeline (one jit region, batched patches, fused Pallas
+local-window + angular attention kernels, bf16 compute by default).
 
 `vs_baseline` = value / baseline_value, where the baseline is the
 REFERENCE'S EXECUTION STRATEGY run on the same chip: serial batch-1 patch
-loop with one device dispatch per patch and dense-masked O((hw)^2) spatial
-attention (reference test.py:88-95, model/LFT.py:147-177). Same hardware,
-same model, same scene -- the ratio isolates the framework design.
+loop with one device dispatch + sync per patch (reference test.py:88-95),
+f32, XLA attention. Same hardware, same model, same scene -- the ratio
+isolates the framework design. (--baseline_impl dense additionally uses
+the reference's dense O((hw)^2) attention mask, model/LFT.py:147-177;
+per-patch runtime is nearly identical but its compile alone takes ~4.5
+minutes on TPU, so 'tiled' is the default baseline attention.)
 (The reference publishes no wall-clock numbers to compare against,
 SURVEY.md §6; its repo as shipped even runs on CPU, reference test.py:20.)
 
@@ -34,13 +38,15 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer reps")
-    ap.add_argument("--dtype", default="float32",
+    ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "dense", "tiled", "pallas"])
     ap.add_argument("--scene", type=int, default=128, help="LR view size")
     ap.add_argument("--eval_batch", type=int, default=16)
     ap.add_argument("--skip_baseline", action="store_true")
+    ap.add_argument("--baseline_impl", default="tiled",
+                    choices=["dense", "tiled"])
     ns = ap.parse_args()
 
     import jax
@@ -82,7 +88,7 @@ def main():
         from lft_tpu.ops.tiling import lf_divide, lf_integrate
         patch, stride = args.patch_size_for_test, args.stride_for_test
         base_args = Args(angRes=5, scale_factor=4, channels=64,
-                         attention_impl="dense", dtype="float32")
+                         attention_impl=ns.baseline_impl, dtype="float32")
         fwd1 = jax.jit(lambda p, x: model.apply(p, x, base_args))
         sub = lf_divide(scene_j, A, patch, stride)
         nU, nV = sub.shape[0], sub.shape[1]
@@ -106,8 +112,8 @@ def main():
             "sec_per_scene": round(dt, 4),
             "dtype": ns.dtype, "impl": ns.impl,
             "eval_batch": ns.eval_batch,
-            "baseline": "reference execution strategy on same chip "
-                        "(serial batch-1 patch loop, dense attention mask)",
+            "baseline": "reference execution strategy on same chip: "
+                        f"serial batch-1 patch loop, {ns.baseline_impl} attn",
             "device": str(jax.devices()[0]),
         },
     }))

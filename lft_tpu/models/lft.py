@@ -167,17 +167,25 @@ def _ffn(x: jnp.ndarray, p: Dict[str, jnp.ndarray], prefix: str) -> jnp.ndarray:
 
 
 def _ang_trans(x: jnp.ndarray, p: Dict[str, jnp.ndarray], prefix: str,
-               ang_pe: jnp.ndarray) -> jnp.ndarray:
+               ang_pe: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     """Angular transformer over [B, A2, h, w, C]
     (reference model/LFT.py:194-238)."""
     B, A2, h, w, C = x.shape
     t = x.transpose(0, 2, 3, 1, 4)                     # [B, h, w, A2, C]
     tn = _layer_norm(t + ang_pe.astype(t.dtype),
                      p[prefix + "norm.weight"], p[prefix + "norm.bias"])
-    attn = multi_head_attention(tn, tn, t,
-                                p[prefix + "attention.in_proj_weight"],
-                                p[prefix + "attention.out_proj.weight"],
-                                NUM_HEADS)
+    if impl == "pallas" or (impl == "auto"
+                            and jax.devices()[0].platform == "tpu"):
+        from lft_tpu.kernels.ang_attn import ang_attention_pallas
+        attn = ang_attention_pallas(tn, t,
+                                    p[prefix + "attention.in_proj_weight"],
+                                    p[prefix + "attention.out_proj.weight"],
+                                    NUM_HEADS)
+    else:
+        attn = multi_head_attention(tn, tn, t,
+                                    p[prefix + "attention.in_proj_weight"],
+                                    p[prefix + "attention.out_proj.weight"],
+                                    NUM_HEADS)
     t = attn + t
     t = _ffn(t, p, prefix) + t
     return t.transpose(0, 3, 1, 2, 4)                  # [B, A2, h, w, C]
@@ -225,6 +233,19 @@ def forward(params: Dict[str, jnp.ndarray], lr: jnp.ndarray, args,
     C = args.channels
     impl = attention_impl or getattr(args, "attention_impl", "auto") or "auto"
     compute_dtype = jnp.dtype(dtype or getattr(args, "dtype", "float32"))
+    prec = getattr(args, "matmul_precision", "default")
+    if prec and prec != "default":
+        # trace the whole forward under the requested matmul precision
+        # ('highest' => f32-exact parity mode; 'default' inherits ambient)
+        with jax.default_matmul_precision(prec):
+            return _forward_body(params, lr, args, impl, compute_dtype)
+    return _forward_body(params, lr, args, impl, compute_dtype)
+
+
+def _forward_body(params, lr, args, impl, compute_dtype):
+    A = args.angRes
+    S = args.scale_factor
+    C = args.channels
 
     B, _, H, W = lr.shape
     h, w = H // A, W // A
@@ -252,7 +273,7 @@ def forward(params: Dict[str, jnp.ndarray], lr: jnp.ndarray, args,
     buf = buf.reshape(B, A * A, h, w, C)
     res = buf
     for i in range(LAYER_NUM):                                        # 4x AltFilter
-        buf = _ang_trans(buf, p, f"altblock.{i}.ang_trans.", ang_pe)
+        buf = _ang_trans(buf, p, f"altblock.{i}.ang_trans.", ang_pe, impl)
         buf = _spa_trans(buf, p, f"altblock.{i}.spa_trans.", spa_pe, impl)
     buf = buf + res                                                   # model/LFT.py:76
 

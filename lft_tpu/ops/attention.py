@@ -194,6 +194,9 @@ def local_attention(qn: jnp.ndarray, v: jnp.ndarray,
     impl: 'auto' | 'dense' | 'tiled' | 'pallas'.
     """
     B, h, w, E = qn.shape
+    if impl == "auto" and E % num_heads == 0 \
+            and jax.devices()[0].platform == "tpu":
+        impl = "pallas"  # fused kernel: fastest on real TPUs
     if impl == "pallas":
         from lft_tpu.kernels.local_attn import local_attention_pallas
         return local_attention_pallas(qn, v, in_proj_weight, out_proj_weight,

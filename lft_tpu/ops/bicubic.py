@@ -100,9 +100,13 @@ def resize2d(img: jnp.ndarray, out_hw, method: str = "torch") -> jnp.ndarray:
     mat = resize_matrix_torch if method == "torch" else resize_matrix_matlab
     Wh = jnp.asarray(mat(H, oh))   # [oh, H]
     Ww = jnp.asarray(mat(W, ow))   # [ow, W]
-    out = jnp.einsum("ph,...hw->...pw", Wh, img.astype(jnp.float32))
-    out = jnp.einsum("qw,...pw->...pq", Ww, out)
-    return out
+    # two single large GEMMs (batch folded into M) instead of per-image
+    # batched matmuls -- XLA's batched [oh, H, W] dots fragment on the MXU
+    x = img.astype(jnp.float32).reshape(-1, H, W)
+    B = x.shape[0]
+    x = x.transpose(0, 2, 1).reshape(B * W, H) @ Wh.T      # [B*W, oh]
+    x = x.reshape(B, W, oh).transpose(0, 2, 1).reshape(B * oh, W) @ Ww.T
+    return x.reshape(*lead, oh, ow)
 
 
 def bicubic_upscale_views(mosaic: jnp.ndarray, ang_res: int, scale: int) -> jnp.ndarray:

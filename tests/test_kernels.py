@@ -1,0 +1,68 @@
+"""Pallas kernel A/B parity tests (interpret mode on the CPU backend)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lft_tpu.ops import attention as A
+
+
+def _rand(shape, seed, scale=1.0):
+    return jnp.asarray((np.random.RandomState(seed).rand(*shape) - 0.5)
+                       .astype(np.float32) * scale)
+
+
+@pytest.mark.parametrize("hw", [(16, 16), (32, 32)])
+def test_pallas_local_attention_matches_tiled(hw):
+    from lft_tpu.kernels.local_attn import local_attention_pallas
+    h, w = hw
+    B, E, H = 2, 128, 8
+    qn = _rand((B, h, w, E), 0)
+    v = _rand((B, h, w, E), 1)
+    wi = _rand((3 * E, E), 2, 0.2)
+    wo = _rand((E, E), 3, 0.2)
+    ref = A.local_attention(qn, v, wi, wo, H, k=5, impl="tiled")
+    out = local_attention_pallas(qn, v, wi, wo, H, k=5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_dispatcher():
+    """attention_impl='pallas' must route through the kernel and agree with
+    dense."""
+    B, h, w, E, H = 1, 16, 16, 64, 8
+    qn = _rand((B, h, w, E), 4)
+    v = _rand((B, h, w, E), 5)
+    wi = _rand((3 * E, E), 6, 0.2)
+    wo = _rand((E, E), 7, 0.2)
+    dense = A.local_attention(qn, v, wi, wo, H, k=5, impl="dense")
+    pallas = A.local_attention(qn, v, wi, wo, H, k=5, impl="pallas")
+    np.testing.assert_allclose(np.asarray(pallas), np.asarray(dense),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_ang_attention_matches_mha():
+    from lft_tpu.kernels.ang_attn import ang_attention_pallas
+    B, T, C, H = 3, 25, 64, 8
+    qn = _rand((B, 40, T, C), 8)
+    v = _rand((B, 40, T, C), 9)
+    wi = _rand((3 * C, C), 10, 0.2)
+    wo = _rand((C, C), 11, 0.2)
+    ref = A.multi_head_attention(qn, qn, v, wi, wo, H)
+    out = ang_attention_pallas(qn, v, wi, wo, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_model_forward_pallas_matches_tiled_cpu():
+    """Full model: pallas impl (interpret on CPU) must equal tiled."""
+    import jax
+    from lft_tpu.config import Args
+    from lft_tpu.models import lft
+    args = Args(angRes=5, scale_factor=2, channels=16)
+    p = lft.init_params(jax.random.PRNGKey(0), args)
+    x = _rand((1, 1, 5 * 16, 5 * 16), 12) + 0.5
+    a = lft.forward(p, x, args, attention_impl="tiled")
+    b = lft.forward(p, x, args, attention_impl="pallas")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
