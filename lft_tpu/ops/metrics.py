@@ -133,6 +133,20 @@ def ssim(ref: jnp.ndarray, test: jnp.ndarray, data_range=None,
     return jnp.mean(S, axis=(-2, -1))
 
 
+def cal_loss_class(probability: jnp.ndarray) -> jnp.ndarray:
+    """Cluster-probability spread loss; parity port of the reference's
+    dead-code helper (reference utils/utils.py:197-210): for each row,
+    (num_cluster - 1) minus the sum of |p_i - p_j| over all pairs,
+    averaged over the batch. Vectorized instead of the reference's O(B*K^2)
+    python loops."""
+    probability = jnp.asarray(probability)
+    assert probability.ndim == 2, "probability requires a 2-dim tensor"
+    B, K = probability.shape
+    diff = jnp.abs(probability[:, :, None] - probability[:, None, :])
+    sum_re = jnp.sum(diff, axis=(1, 2)) / 2.0   # each unordered pair once
+    return jnp.mean((K - 1) - sum_re)
+
+
 def cal_metrics(label, out, ang_res: int, psnr_data_range=None,
                 ssim_data_range=None):
     """Per-view PSNR/SSIM of SAI mosaics, averaged over views.

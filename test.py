@@ -50,6 +50,8 @@ def main(args):
                                mesh=mesh)
 
     logger.log_string("\nStart test...")
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     psnr_testset, ssim_testset = [], []
     for name, dataset in zip(names, sets):
         p, s, per_scene = evaluate_dataset(model.apply, params, args, dataset,
@@ -57,6 +59,8 @@ def main(args):
         psnr_testset.append(p)
         ssim_testset.append(s)
         logger.log_string("Test on %s, psnr/ssim is %.2f/%.3f" % (name, p, s))
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     if psnr_testset:
         logger.log_string("Mean over datasets: psnr/ssim is %.2f/%.3f"
                           % (float(np.mean(psnr_testset)),

@@ -1,0 +1,67 @@
+"""CLI tool tests: generate_data (synth mode), checkpoint converter,
+dead-code parity helpers."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_generate_data_synth_cli(tmp_path):
+    import generate_data
+    generate_data.main(["--mode", "synth", "--dst", str(tmp_path),
+                        "--angRes", "5", "--scale_factor", "2",
+                        "--n_train", "2", "--n_test", "1"])
+    train_files = list((tmp_path / "data_for_train").rglob("*.h5"))
+    test_files = list((tmp_path / "data_for_test").rglob("*.h5"))
+    assert len(train_files) == 2 and len(test_files) == 1
+
+
+def test_convert_ckpt_cli(tmp_path):
+    import pytest
+    pytest.importorskip("torch")
+    from lft_tpu.config import Args
+    from lft_tpu.models import lft
+    from lft_tpu.utils.checkpoint import save_checkpoint, pth_to_params
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import convert_ckpt
+
+    args = Args(channels=16, scale_factor=2)
+    p = {k: np.asarray(v) for k, v in
+         lft.init_params(jax.random.PRNGKey(0), args).items()}
+    npz = str(tmp_path / "a.npz")
+    pth = str(tmp_path / "a.pth")
+    save_checkpoint(npz, p, epoch=9)
+    convert_ckpt.main([npz, pth])
+    params, epoch = pth_to_params(pth)
+    assert epoch == 9
+    np.testing.assert_array_equal(params["conv_init0.0.weight"],
+                                  p["conv_init0.0.weight"])
+    # and back
+    npz2 = str(tmp_path / "b.npz")
+    convert_ckpt.main([pth, npz2])
+    from lft_tpu.utils.checkpoint import load_checkpoint
+    p2, e2, _ = load_checkpoint(npz2)
+    assert e2 == 9 and set(p2) == set(p)
+
+
+def test_cal_loss_class_matches_reference_semantics():
+    """Vectorized port must equal the reference's O(B*K^2) loop
+    (reference utils/utils.py:197-210)."""
+    from lft_tpu.ops.metrics import cal_loss_class
+    rng = np.random.RandomState(0)
+    prob = rng.rand(3, 5).astype(np.float32)
+    loss_ref = 0.0
+    B, K = prob.shape
+    for b in range(B):
+        sum_re = 0.0
+        for i in range(K - 1):
+            for j in range(i + 1, K):
+                sum_re += abs(prob[b][i] - prob[b][j])
+        loss_ref += (K - 1) - sum_re
+    loss_ref /= B
+    ours = float(cal_loss_class(jnp.asarray(prob)))
+    assert abs(ours - loss_ref) < 1e-5
