@@ -38,6 +38,7 @@ Quirks intentionally preserved (parity-critical):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict
 
@@ -272,9 +273,19 @@ def _forward_body(params, lr, args, impl, compute_dtype):
 
     buf = buf.reshape(B, A * A, h, w, C)
     res = buf
+
+    def _alt_block(buf, p, prefix_i):
+        buf = _ang_trans(buf, p, f"altblock.{prefix_i}.ang_trans.", ang_pe, impl)
+        buf = _spa_trans(buf, p, f"altblock.{prefix_i}.spa_trans.", spa_pe, impl)
+        return buf
+
     for i in range(LAYER_NUM):                                        # 4x AltFilter
-        buf = _ang_trans(buf, p, f"altblock.{i}.ang_trans.", ang_pe, impl)
-        buf = _spa_trans(buf, p, f"altblock.{i}.spa_trans.", spa_pe, impl)
+        # remat each block: with XLA attention the saved [.., 64, 144] /
+        # [.., 25, 25] score activations of 4 blocks OOM HBM at the
+        # reference's training batch sizes; recomputing them in backward
+        # costs far less than it saves (SURVEY-scale model, cheap forward)
+        blk = jax.checkpoint(functools.partial(_alt_block, prefix_i=i))
+        buf = blk(buf, p)
     buf = buf + res                                                   # model/LFT.py:76
 
     # views -> mosaic (reference model/LFT.py:79)

@@ -60,13 +60,10 @@ def make_dp_train_step(model, optimizer, args, mesh: Mesh,
     single-device semantics.
     """
 
-    # Pallas kernels are forward-only; pin an autodiff-capable impl here
-    # (same policy as lft_tpu.training.trainer.make_train_step).
-    train_impl = args.attention_impl if args.attention_impl in ("dense", "tiled") \
-        else "tiled"
-
     def loss_fn(params, data, label):
-        sr = model.apply(params, data, args, attention_impl=train_impl)
+        # the fused Pallas kernels carry custom VJPs, so every impl
+        # (incl. 'auto' -> pallas on TPU) is trainable
+        sr = model.apply(params, data, args)
         return model.loss(sr, label), sr
 
     def shard_step(params, opt_state, data, label):

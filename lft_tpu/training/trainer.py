@@ -52,14 +52,10 @@ def make_train_step(model, optimizer, args, with_metrics: bool = True) -> Callab
     """Single-device jitted step:
     (params, opt_state, data, label) -> (params, opt_state, aux dict)."""
 
-    # Training must differentiate through the forward; the fused Pallas
-    # kernels are forward-only (no VJP yet), so the train path pins an
-    # XLA attention impl. 'dense' is honored if explicitly requested.
-    train_impl = args.attention_impl if args.attention_impl in ("dense", "tiled") \
-        else "tiled"
-
     def loss_fn(params, data, label):
-        sr = model.apply(params, data, args, attention_impl=train_impl)
+        # the fused Pallas kernels carry custom VJPs, so every impl
+        # (incl. 'auto' -> pallas on TPU) is trainable
+        sr = model.apply(params, data, args)
         return model.loss(sr, label), sr
 
     def step(params, opt_state, data, label):
