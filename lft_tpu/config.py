@@ -60,6 +60,7 @@ class Args:
     eval_batch: int = 16              # patches per device batch in tiled eval
     num_devices: Optional[int] = None  # data-parallel devices (None = all)
     ckpt_format: str = "npz"          # npz | pth
+    lr_schedule: str = "step"         # step (reference StepLR) | cosine
     profile_dir: str = ""             # if set, write a jax profiler trace
     log_every: int = 0                # extra per-step logging (0 = per epoch)
 
@@ -114,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--ckpt_format", type=str, default=d.ckpt_format,
                    choices=["npz", "pth"])
+    p.add_argument("--lr_schedule", type=str, default=d.lr_schedule,
+                   choices=["step", "cosine"],
+                   help="step = reference StepLR(n_steps, gamma); cosine = "
+                        "cosine decay over --epoch")
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--log_every", type=int, default=d.log_every)
     return p

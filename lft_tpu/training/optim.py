@@ -27,8 +27,19 @@ def step_lr_schedule(base_lr: float, gamma: float, n_steps_epochs: int,
     return schedule
 
 
+def cosine_schedule(base_lr: float, total_epochs: int, steps_per_epoch: int):
+    """Cosine decay over the whole run (BASELINE.json config 4 trains the
+    2x model with a cosine schedule instead of the reference's StepLR)."""
+    return optax.cosine_decay_schedule(base_lr,
+                                       max(total_epochs * steps_per_epoch, 1))
+
+
 def make_optimizer(args, steps_per_epoch: int) -> optax.GradientTransformation:
-    sched = step_lr_schedule(args.lr, args.gamma, args.n_steps, steps_per_epoch)
+    if getattr(args, "lr_schedule", "step") == "cosine":
+        sched = cosine_schedule(args.lr, args.epoch, steps_per_epoch)
+    else:
+        sched = step_lr_schedule(args.lr, args.gamma, args.n_steps,
+                                 steps_per_epoch)
     txs = []
     if args.decay_rate:
         txs.append(optax.add_decayed_weights(args.decay_rate))

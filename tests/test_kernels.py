@@ -66,3 +66,59 @@ def test_model_forward_pallas_matches_tiled_cpu():
     a = lft.forward(p, x, args, attention_impl="tiled")
     b = lft.forward(p, x, args, attention_impl="pallas")
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
+
+
+def test_pallas_local_attention_grad_matches_xla():
+    """Custom VJP vs XLA autodiff through the tiled path (banded case)."""
+    import jax
+    from lft_tpu.kernels.local_attn_vjp import local_attention_pallas_ad
+    B, h, w, E, H = 1, 32, 32, 128, 8   # 32x32 -> row-banded backward
+    qn = _rand((B, h, w, E), 20)
+    v = _rand((B, h, w, E), 21)
+    wi = _rand((3 * E, E), 22, 0.1)
+    wo = _rand((E, E), 23, 0.1)
+    f_ref = lambda *a: jnp.sum(jnp.sin(A.local_attention(*a, H, k=5, impl="tiled")))
+    f_ker = lambda *a: jnp.sum(jnp.sin(local_attention_pallas_ad(*a, H, k=5)))
+    g1 = jax.grad(f_ref, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    g2 = jax.grad(f_ker, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    for name, a, b in zip(["dqn", "dv", "dwi", "dwo"], g1, g2):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5, name
+
+
+def test_pallas_ang_attention_grad_matches_xla():
+    import jax
+    from lft_tpu.kernels.ang_attn_vjp import ang_attention_pallas_ad
+    B, P, T, C, H = 2, 40, 25, 64, 8
+    qn = _rand((B, P, T, C), 24)
+    v = _rand((B, P, T, C), 25)
+    wi = _rand((3 * C, C), 26, 0.1)
+    wo = _rand((C, C), 27, 0.1)
+    f_ref = lambda *a: jnp.sum(jnp.sin(A.multi_head_attention(a[0], a[0], a[1], a[2], a[3], H)))
+    f_ker = lambda *a: jnp.sum(jnp.sin(ang_attention_pallas_ad(*a, H)))
+    g1 = jax.grad(f_ref, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    g2 = jax.grad(f_ker, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    for name, a, b in zip(["dqn", "dv", "dwi", "dwo"], g1, g2):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5, name
+
+
+def test_model_grad_pallas_matches_tiled():
+    """End-to-end model gradients: pallas impl vs XLA tiled impl."""
+    import jax
+    from lft_tpu.config import Args
+    from lft_tpu.models import lft
+    args = Args(angRes=5, scale_factor=2, channels=16)
+    p = lft.init_params(jax.random.PRNGKey(0), args)
+    x = _rand((1, 1, 5 * 16, 5 * 16), 28) + 0.5
+    y = _rand((1, 1, 5 * 32, 5 * 32), 29) + 0.5
+
+    def loss(p, impl):
+        return lft.l1_loss(lft.forward(p, x, args, attention_impl=impl), y)
+
+    g1 = jax.grad(lambda p: loss(p, "tiled"))(p)
+    g2 = jax.grad(lambda p: loss(p, "pallas"))(p)
+    for k in g1:
+        scale = float(jnp.max(jnp.abs(g1[k]))) + 1e-9
+        diff = float(jnp.max(jnp.abs(g1[k] - g2[k])))
+        assert diff / scale < 5e-4, (k, diff, scale)

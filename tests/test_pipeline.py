@@ -181,3 +181,25 @@ def test_cli_train_then_test(synth_root, tmp_path):
     # log file exists with reference-style lines
     logs = list((tmp_path / "log").rglob("LFT.txt"))
     assert logs and "Test on" in logs[0].read_text()
+
+
+def test_device_synth_batch():
+    """On-device synthetic LF stream: shapes + LR is a downscale of HR."""
+    from lft_tpu.data.device_synth import synth_batch
+    lr, hr = synth_batch(jax.random.PRNGKey(0), batch=2, ang_res=5,
+                         patch=16, scale=2)
+    assert lr.shape == (2, 1, 80, 80) and hr.shape == (2, 1, 160, 160)
+    l = np.asarray(lr)[0, 0, :16, :16]
+    h = np.asarray(hr)[0, 0, :32:2, :32:2]
+    assert np.corrcoef(l.ravel(), h.ravel())[0, 1] > 0.8
+    assert float(lr.min()) > -0.5 and float(lr.max()) < 1.5
+
+
+def test_cosine_schedule_flag():
+    from lft_tpu.training.optim import cosine_schedule, make_optimizer
+    sched = cosine_schedule(2e-4, total_epochs=10, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(2e-4)
+    assert float(sched(50)) == pytest.approx(1e-4, rel=1e-3)   # half-way
+    assert float(sched(100)) < 1e-8
+    args = Args(lr_schedule="cosine", epoch=10)
+    make_optimizer(args, steps_per_epoch=10)  # constructs without error
