@@ -170,13 +170,40 @@ def _vjp_bwd(num_heads, res, dout):
 ang_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def _pack_pairs(x, A2, C):
+    """[N, A2, C] -> [N/2, A2, 2C]: two pixels' tokens side by side.
+
+    Per-head attention is independent and heads occupy consecutive channel
+    groups, so a 2C-channel, 2H-head attention over super-tokens computes
+    both pixels' H-head attentions EXACTLY -- while filling all 128 vector
+    lanes (C = 64 alone wastes half) and halving the kernel grid.
+    """
+    N = x.shape[0]
+    return x.reshape(N // 2, 2, A2, C).transpose(0, 2, 1, 3) \
+            .reshape(N // 2, A2, 2 * C)
+
+
+def _unpack_pairs(x, A2, C):
+    N2 = x.shape[0]
+    return x.reshape(N2, A2, 2, C).transpose(0, 2, 1, 3) \
+            .reshape(N2 * 2, A2, C)
+
+
 def ang_attention_pallas_ad(qn, v, in_proj_weight, out_proj_weight,
                             num_heads: int):
     """Differentiable drop-in for the AngTrans MHSA (q = k = qn normed,
     v raw; torch-packed projections) on [..., A2, C] tokens."""
     *lead, A2, C = qn.shape
     wq, wk, wv = jnp.split(in_proj_weight, 3, axis=0)
-    out = ang_attention((qn @ wq.T).reshape(-1, A2, C),
-                        (qn @ wk.T).reshape(-1, A2, C),
-                        (v @ wv.T).reshape(-1, A2, C), num_heads)
+    q_p = (qn @ wq.T).reshape(-1, A2, C)
+    k_p = (qn @ wk.T).reshape(-1, A2, C)
+    v_p = (v @ wv.T).reshape(-1, A2, C)
+    N = q_p.shape[0]
+    pack = 2 if (2 * C <= 128 and N % 2 == 0) else 1
+    if pack == 2:
+        out = ang_attention(_pack_pairs(q_p, A2, C), _pack_pairs(k_p, A2, C),
+                            _pack_pairs(v_p, A2, C), 2 * num_heads)
+        out = _unpack_pairs(out, A2, C)
+    else:
+        out = ang_attention(q_p, k_p, v_p, num_heads)
     return out.reshape(*lead, A2, C) @ out_proj_weight.T
