@@ -24,7 +24,7 @@ def _fwd_kernel(s_mat_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *,
     A2, chunk, C = q_ref.shape
     dh = C // num_heads
     rows = A2 * chunk
-    scale = jnp.float32(dh) ** -0.5
+    scale = jnp.float32(float(dh) ** -0.5)
     q = q_ref[:, :, :].reshape(rows, C).astype(jnp.float32) * scale
     s_mat = s_mat_ref[:, :]
 
@@ -56,7 +56,7 @@ def _bwd_kernel(s_mat_ref, q_ref, k_ref, v_ref, do_ref, o_ref, m_ref, l_ref,
     A2, chunk, C = q_ref.shape
     dh = C // num_heads
     rows = A2 * chunk
-    scale = jnp.float32(dh) ** -0.5
+    scale = jnp.float32(float(dh) ** -0.5)
     s_mat = s_mat_ref[:, :]
     q_raw = q_ref[:, :, :].reshape(rows, C).astype(jnp.float32)
     q = q_raw * scale

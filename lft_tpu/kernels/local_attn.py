@@ -48,7 +48,7 @@ def _window_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, h, w, t, r,
     dh = E // num_heads
     hl = t + 2 * r
     nth, ntw = h // t, w // t
-    scale = jnp.float32(dh) ** -0.5
+    scale = jnp.float32(float(dh) ** -0.5)
 
     for ti in range(nth):
         for tj in range(ntw):

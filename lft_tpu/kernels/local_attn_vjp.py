@@ -59,7 +59,7 @@ def _fwd_kernel(s_mat_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *,
     E = q_ref.shape[-1]
     dh = E // num_heads
     hw = h * w
-    scale = jnp.float32(dh) ** -0.5
+    scale = jnp.float32(float(dh) ** -0.5)
     q = q_ref[0].reshape(hw, E).astype(jnp.float32) * scale
     s_mat = s_mat_ref[:, :]
     band = pl.program_id(0) % nb
@@ -123,7 +123,7 @@ def _bwd_kernel(s_mat_ref, q_ref, k_ref, v_ref, do_ref, d_ref, m_ref, l_ref,
     E = q_ref.shape[-1]
     dh = E // num_heads
     hw = h * w
-    scale = jnp.float32(dh) ** -0.5
+    scale = jnp.float32(float(dh) ** -0.5)
     s_mat = s_mat_ref[:, :]
     q = q_ref[0].reshape(hw, E).astype(jnp.float32) * scale
     do = do_ref[0].reshape(hw, E).astype(jnp.float32)

@@ -85,9 +85,13 @@ def _conv1d_along(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
     L = x.shape[-1]
     xr = x.reshape((-1, 1, L))
     kr = k.reshape((1, 1, -1)).astype(x.dtype)
+    # HIGHEST precision: SSIM's variance terms (uxx - ux^2) cancel almost
+    # completely, so TPU default bf16-pass convs corrupt them (~0.03 SSIM
+    # shift); exact-f32 filtering matches the CPU/skimage result.
     out = jax.lax.conv_general_dilated(
         xr, kr, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
     out = out.reshape(lead_shape + (out.shape[-1],))
     return jnp.moveaxis(out, -1, axis)
 
