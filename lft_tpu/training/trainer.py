@@ -74,17 +74,23 @@ def make_train_step(model, optimizer, args, with_metrics: bool = True) -> Callab
 
 
 def train_epoch(step_fn, params, opt_state, dataset, args, seed: int,
-                put_batch=None) -> tuple:
+                put_batch=None, log=None) -> tuple:
     """One epoch over shuffled fixed-shape batches. Returns
-    (params, opt_state, means dict)."""
+    (params, opt_state, means dict). `--log_every N` prints per-iteration
+    progress (the reference's tqdm role, train.py:117) without forcing a
+    device sync unless it fires."""
     metrics_acc = []
-    for data, label in iterate_batches(dataset, args.batch_size, shuffle=True,
-                                       seed=seed, drop_last=True,
-                                       num_workers=args.num_workers):
+    log_every = getattr(args, "log_every", 0) or 0
+    for it, (data, label) in enumerate(iterate_batches(
+            dataset, args.batch_size, shuffle=True, seed=seed,
+            drop_last=True, num_workers=args.num_workers)):
         if put_batch is not None:
             data, label = put_batch(data, label)
         params, opt_state, aux = step_fn(params, opt_state, data, label)
         metrics_acc.append(aux)
+        if log_every and log is not None and (it + 1) % log_every == 0:
+            log("  iter %d: loss %.5f psnr %.3f" % (
+                it + 1, float(aux["loss"]), float(aux.get("psnr", float("nan")))))
     means = {k: float(np.mean([float(a[k]) for a in metrics_acc]))
              for k in metrics_acc[0]} if metrics_acc else {}
     return params, opt_state, means
@@ -133,7 +139,7 @@ def fit(args, logger=None, step_builder=None, dataset: Optional[TrainDataset] = 
         t0 = time.time()
         params, opt_state, means = train_epoch(
             step_fn, params, opt_state, dataset, args, seed=args.seed + epoch,
-            put_batch=put_batch)
+            put_batch=put_batch, log=log)
         dt = time.time() - t0
         log("The %dth Train, loss is: %.5f, psnr is %.5f, ssim is %.5f (%.1fs)"
             % (epoch + 1, means.get("loss", float("nan")),

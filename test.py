@@ -58,6 +58,9 @@ def main(args):
                                            cache=cache)
         psnr_testset.append(p)
         ssim_testset.append(s)
+        for scene, sp, ss in per_scene:
+            logger.log_string("  %s/%s: psnr/ssim %.2f/%.3f"
+                              % (name, scene, sp, ss))
         logger.log_string("Test on %s, psnr/ssim is %.2f/%.3f" % (name, p, s))
     if args.profile_dir:
         jax.profiler.stop_trace()
