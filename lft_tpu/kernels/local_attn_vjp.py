@@ -194,10 +194,12 @@ def windowed_attention(q_img, k_img, v_img, num_heads: int, k: int):
     return out
 
 
-def _num_bands(h: int, w: int) -> int:
-    """Rows per band chosen so one band's buffers fit the VMEM budget."""
+def _num_bands(h: int, w: int, limit: int = 512) -> int:
+    """Rows per band chosen so one band's buffers fit the VMEM budget.
+    The forward (fewer live buffers) tolerates a higher row limit than the
+    backward; fewer bands = fewer grid steps = less per-step overhead."""
     for nb in (1, 2, 4, 8):
-        if h % nb == 0 and (h // nb) * w <= 512:
+        if h % nb == 0 and (h // nb) * w <= limit:
             return nb
     return 1
 
@@ -229,7 +231,7 @@ def _unband_img(x, nb):
 def _call_fwd(q_img, kp, vp, num_heads, k, loop="unroll"):
     B, h, w, E = q_img.shape
     r = k // 2
-    nb = _num_bands(h, w)
+    nb = _num_bands(h, w, limit=1024 if loop == "unroll" else 512)
     h2 = h // nb
     s_mat = jnp.asarray(_head_sum_matrix(E, num_heads))
     kernel = functools.partial(_fwd_kernel, h=h2, w=w, r=r,
@@ -298,6 +300,10 @@ def _vjp_bwd(num_heads, k, res, dout):
     # flash identity: D_i = rowsum_h(dO_i * O_i); tiny, so done in XLA
     D = ((dout.astype(jnp.float32) * out.astype(jnp.float32))
          .reshape(B * nb, h2 * w, E) @ s_mat)
+    # fwd may have used a different band count; stats rows are y-major so a
+    # reshape restores alignment
+    m = m.reshape(B * nb, h2 * w, num_heads)
+    l = l.reshape(B * nb, h2 * w, num_heads)
     Bn = B * nb
     dq, dk_b, dv_b = pl.pallas_call(
         kernel, interpret=interpret, grid=(Bn,),
