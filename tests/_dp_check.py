@@ -62,5 +62,29 @@ def main():
     print("DP == single-device: OK")
 
 
+
+
+
+def cli_dp_fit():
+    """Also exercise the train CLI's --num_devices wiring (put_batch +
+    step_builder) with a tiny synthetic dataset."""
+    import tempfile
+    from lft_tpu.data.synth import make_synth_data
+    import train as train_cli
+    with tempfile.TemporaryDirectory() as d:
+        paths = make_synth_data(d, ang_res=5, scale=2, n_train=4, n_test=1,
+                                train_patch=16, test_hw=32)
+        args = Args(angRes=5, scale_factor=2, channels=8, batch_size=4,
+                    num_workers=0, epoch=1, num_devices=2,
+                    path_for_train=paths["path_for_train"],
+                    path_for_test=paths["path_for_test"],
+                    data_name=paths["data_name"],
+                    path_log=d + "/log/")
+        params, history = train_cli.main(args)
+        assert np.isfinite(history[0]["loss"]), history
+    print("CLI --num_devices fit: OK")
+
+
 if __name__ == "__main__":
     main()
+    cli_dp_fit()

@@ -116,3 +116,27 @@ def test_validate_params_raises():
         ckpt.validate_params({"a": np.zeros((2, 2))}, shapes)
     with pytest.raises(ValueError, match="shapes"):
         ckpt.validate_params({"a": np.zeros((2, 3)), "b": np.zeros(3)}, shapes)
+
+
+def test_forward_angres3():
+    """Model generality: angRes != 5 (3x3 views) must work end-to-end."""
+    args = Args(angRes=3, scale_factor=2, channels=16)
+    p = lft.init_params(jax.random.PRNGKey(0), args)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 1, 3 * 16, 3 * 16)
+                    .astype(np.float32))
+    for impl in ("tiled", "pallas"):
+        out = lft.forward(p, x, args, attention_impl=impl)
+        assert out.shape == (1, 1, 96, 96)
+        assert bool(jnp.isfinite(out).all())
+
+
+def test_forward_rectangular_pallas():
+    """Rectangular views through the pallas offset kernel (h != w)."""
+    args = Args(angRes=5, scale_factor=2, channels=16)
+    p = lft.init_params(jax.random.PRNGKey(1), args)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 1, 5 * 16, 5 * 24)
+                    .astype(np.float32))
+    a = lft.forward(p, x, args, attention_impl="pallas")
+    b = lft.forward(p, x, args, attention_impl="dense")
+    assert a.shape == (1, 1, 160, 240)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
