@@ -8,5 +8,5 @@ from lft_tpu.ops.bicubic import (  # noqa: F401
     imresize,
 )
 from lft_tpu.ops.color import rgb2ycbcr, ycbcr2rgb  # noqa: F401
-from lft_tpu.ops.metrics import psnr, ssim, cal_metrics  # noqa: F401
+from lft_tpu.ops.metrics import psnr, ssim, cal_metrics, cal_loss_class  # noqa: F401
 from lft_tpu.ops.tiling import lf_divide, lf_integrate, image_extend, tiling_grid  # noqa: F401

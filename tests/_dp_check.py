@@ -27,7 +27,11 @@ from lft_tpu.training.trainer import make_train_step  # noqa: E402
 
 def main():
     assert jax.device_count() >= 4
-    args = Args(angRes=5, scale_factor=2, channels=8, batch_size=8)
+    # Tiny workload: XLA's CPU collective rendezvous hard-terminates 40 s
+    # after the FIRST participant arrives, and on a 1-core host the four
+    # shards compute serially -- per-shard time must stay well under
+    # 40s/ndev even when the parent suite loads the machine.
+    args = Args(angRes=3, scale_factor=2, channels=8, batch_size=4)
     model = get_model(args)
     # SGD isolates the sharding math: Adam's m/sqrt(v) amplifies float
     # reduction-order noise on near-zero grads into ~lr-sized param diffs.
@@ -40,8 +44,8 @@ def main():
         return p, optimizer.init(p)
 
     rng = np.random.RandomState(0)
-    data = rng.rand(8, 1, 40, 40).astype(np.float32)
-    label = rng.rand(8, 1, 80, 80).astype(np.float32)
+    data = rng.rand(4, 1, 24, 24).astype(np.float32)
+    label = rng.rand(4, 1, 48, 48).astype(np.float32)
 
     step1 = make_train_step(model, optimizer, args, with_metrics=False)
     p1, o1 = fresh()
