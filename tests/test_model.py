@@ -21,7 +21,7 @@ def _params_from_golden(g):
 
 
 @pytest.mark.parametrize("name", ["model_s2_c16.npz", "model_s4_c16.npz",
-                                  "model_s2_c64.npz"])
+                                  "model_s2_c64.npz", "model_s4_c64.npz"])
 @pytest.mark.parametrize("impl", ["dense", "tiled"])
 def test_forward_parity(goldens, name, impl):
     g = goldens(name)

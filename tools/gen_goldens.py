@@ -179,6 +179,7 @@ def main():
     golden_model_forward(lft_mod, 5, 2, 16, 8, 8, 2, seed=3, name="model_s2_c16.npz")
     golden_model_forward(lft_mod, 5, 4, 16, 8, 8, 1, seed=4, name="model_s4_c16.npz")
     golden_model_forward(lft_mod, 5, 2, 64, 16, 16, 1, seed=5, name="model_s2_c64.npz")
+    golden_model_forward(lft_mod, 5, 4, 64, 16, 16, 1, seed=6, name="model_s4_c64.npz")
 
 
 if __name__ == "__main__":
