@@ -44,14 +44,15 @@ def load_mat_lf(path: str, var: str = "LF") -> np.ndarray:
     Handles classic (scipy.io) and v7.3 (HDF5) formats. v7.3 stores arrays
     transposed (Matlab column-major), so axes are reversed back.
     """
-    try:
-        import scipy.io as sio
-        data = sio.loadmat(path)
-        lf = np.asarray(data[var])
-    except NotImplementedError:  # v7.3 mat -> HDF5
+    if h5py.is_hdf5(path):
+        # v7.3 .mat is HDF5 (with a user block); h5py sees Matlab's
+        # column-major arrays reversed, so restore the Matlab axis order.
         with h5py.File(path, "r") as f:
             lf = np.asarray(f[var])
             lf = np.transpose(lf, tuple(range(lf.ndim))[::-1])
+    else:
+        import scipy.io as sio
+        lf = np.asarray(sio.loadmat(path)[var])
     if lf.ndim != 5:
         raise ValueError(f"{path}: expected 5-D LF array, got {lf.shape}")
     if np.issubdtype(lf.dtype, np.integer):

@@ -45,12 +45,23 @@ def synth_lf_scene(ang_res: int = 5, height: int = 128, width: int = 128,
 
 
 def write_synth_scene_mat(path: str, ang_res: int = 9, height: int = 128,
-                          width: int = 128, seed: int = 0) -> None:
-    """Write a v7.3-style (HDF5) .mat scene with an `LF[U,V,H,W,3]` variable
-    (stored reversed like Matlab's column-major layout)."""
-    lf = synth_lf_scene(ang_res, height, width, seed=seed)
-    with h5py.File(path, "w") as f:
-        f.create_dataset("LF", data=np.transpose(lf, (4, 3, 2, 1, 0)))
+                          width: int = 128, seed: int = 0,
+                          fmt: str = "v73", lf: np.ndarray = None) -> np.ndarray:
+    """Write a .mat scene with an `LF[U,V,H,W,3]` variable and return the
+    array. `fmt='v73'` emits the HDF5-based layout (stored axis-reversed like
+    Matlab's column-major h5 writes); `fmt='classic'` emits a v5 .mat via
+    scipy. Both are accepted by `lft_tpu.data.generate.load_mat_lf`."""
+    if lf is None:
+        lf = synth_lf_scene(ang_res, height, width, seed=seed)
+    if fmt == "v73":
+        with h5py.File(path, "w") as f:
+            f.create_dataset("LF", data=np.transpose(lf, (4, 3, 2, 1, 0)))
+    elif fmt == "classic":
+        import scipy.io as sio
+        sio.savemat(path, {"LF": lf})
+    else:
+        raise ValueError(f"unknown .mat fmt {fmt!r}")
+    return lf
 
 
 def make_synth_data(root: str, ang_res: int = 5, scale: int = 2,

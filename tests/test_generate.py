@@ -1,0 +1,138 @@
+"""`.mat` scene ingestion + data-generation parity (VERDICT.md Missing #3).
+
+Covers the full Matlab-replacement contract (reference
+Generate_Data_for_Training.m:38-78, Generate_Data_for_Test.m:34-77):
+load .mat LF scenes (classic v5 AND v7.3/HDF5 layouts), central angular
+crop, per-view Y extraction, Matlab-bicubic antialiased downscale, h5
+emission in Matlab's column-major layout, and round-trip through the
+train/test loaders.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from lft_tpu.config import Args
+from lft_tpu.data.generate import (_central_views, _downscale_matlab,
+                                   _lf_to_y, _mosaic, generate_test_data,
+                                   generate_training_data, load_mat_lf)
+from lft_tpu.data.datasets import TestDataset, TrainDataset
+from lft_tpu.data.synth import synth_lf_scene, write_synth_scene_mat
+
+
+@pytest.mark.parametrize("fmt", ["classic", "v73"])
+def test_load_mat_lf_roundtrip(tmp_path, fmt):
+    path = str(tmp_path / f"scene_{fmt}.mat")
+    lf = write_synth_scene_mat(path, ang_res=5, height=24, width=20,
+                               seed=3, fmt=fmt)
+    loaded = load_mat_lf(path)
+    assert loaded.shape == (5, 5, 24, 20, 3)
+    np.testing.assert_allclose(loaded, lf, atol=1e-12)
+
+
+def test_load_mat_lf_integer_scaling(tmp_path):
+    """Integer-typed LFs must be scaled to [0,1] by dtype max (the public
+    datasets ship uint8/uint16 scenes)."""
+    import h5py
+    lf8 = (synth_lf_scene(5, 16, 16, seed=1) * 255).astype(np.uint8)
+    path = str(tmp_path / "u8.mat")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("LF", data=np.transpose(lf8, (4, 3, 2, 1, 0)))
+    loaded = load_mat_lf(path)
+    assert loaded.dtype == np.float64
+    np.testing.assert_allclose(loaded, lf8.astype(np.float64) / 255.0)
+
+
+def _scene_tree(tmp_path, name, fmt, ang_res=7, hw=96, n_train=1, n_test=1):
+    """datasets/<name>/{training,test}/*.mat layout the generators expect."""
+    src = tmp_path / "datasets"
+    lfs = {}
+    for split, n in (("training", n_train), ("test", n_test)):
+        d = src / name / split
+        d.mkdir(parents=True)
+        for i in range(n):
+            p = str(d / f"scene_{i}.mat")
+            lfs[(split, i)] = write_synth_scene_mat(
+                p, ang_res=ang_res, height=hw, width=hw + 4,
+                seed=10 * n_test + i, fmt=fmt)
+    return str(src), lfs
+
+
+@pytest.mark.parametrize("fmt", ["classic", "v73"])
+def test_generate_training_data_from_mat(tmp_path, fmt):
+    """End-to-end: .mat scenes -> patch h5s == hand-computed crops/downscales,
+    and TrainDataset loads them (reference Generate_Data_for_Training.m)."""
+    A, factor = 5, 2
+    src, lfs = _scene_tree(tmp_path, "SetA", fmt, ang_res=7, hw=96)
+    dst = str(tmp_path / "data_for_train") + os.sep
+    n = generate_training_data(src, dst, ang_res=A, factor=factor,
+                               log=lambda *a: None)
+    patchsize, stride = factor * 32, factor * 16
+    H, W = 96, 100
+    nH = len(range(0, H - patchsize + 1, stride))
+    nW = len(range(0, W - patchsize + 1, stride))
+    assert n == nH * nW
+
+    # hand-compute the first patch from the raw scene
+    y = _lf_to_y(_central_views(lfs[("training", 0)], A))
+    hr_views = y[:, :, :patchsize, :patchsize]
+    lr_views = np.stack([np.stack([_downscale_matlab(hr_views[u, v], factor)
+                                   for v in range(A)]) for u in range(A)])
+
+    args = Args(angRes=A, scale_factor=factor, path_for_train=dst,
+                data_name="SetA")
+    ds = TrainDataset(args, seed=None)
+    ds.rng = _NoAug()
+    assert len(ds) == n
+    data, label = ds[0]
+    # train loader does NOT transpose (utils/utils_datasets.py:37-39) and the
+    # h5 stores the Matlab column-major transpose, so compare transposed.
+    np.testing.assert_allclose(data[0], _mosaic(lr_views).T.astype(np.float32),
+                               atol=1e-6)
+    np.testing.assert_allclose(label[0], _mosaic(hr_views).T.astype(np.float32),
+                               atol=1e-6)
+
+
+class _NoAug:
+    def random(self):
+        return 1.0  # every p=0.5 branch skipped
+
+
+def test_generate_test_data_from_mat(tmp_path):
+    """Whole scenes: H,W floored to %4, LR == Matlab-bicubic downscale of the
+    central-crop Y views, loaders undo the column-major transpose
+    (reference Generate_Data_for_Test.m:34-77)."""
+    A, factor = 5, 2
+    src, lfs = _scene_tree(tmp_path, "SetB", "v73", ang_res=7, hw=94)
+    dst = str(tmp_path / "data_for_test") + os.sep
+    n = generate_test_data(src, dst, ang_res=A, factor=factor,
+                           log=lambda *a: None)
+    assert n == 1
+
+    H, W = 94 - 94 % 4, 98 - 98 % 4
+    y = _lf_to_y(_central_views(lfs[("test", 0)][:, :, :H, :W], A))
+    lr_views = np.stack([np.stack([_downscale_matlab(y[u, v], factor)
+                                   for v in range(A)]) for u in range(A)])
+
+    args = Args(angRes=A, scale_factor=factor, path_for_test=dst,
+                data_name="SetB")
+    ds = TestDataset(args, "SetB")
+    lr, hr = ds[0]
+    assert lr.shape == (A * H // factor, A * W // factor)
+    assert hr.shape == (A * H, A * W)
+    np.testing.assert_allclose(lr, _mosaic(lr_views).astype(np.float32),
+                               atol=1e-6)
+    np.testing.assert_allclose(hr, _mosaic(y).astype(np.float32), atol=1e-6)
+
+
+def test_generate_data_cli(tmp_path):
+    """Repo-root generate_data.py drives both generators end-to-end."""
+    import generate_data as cli
+    src, _ = _scene_tree(tmp_path, "SetC", "classic", ang_res=5, hw=64)
+    cli.main(["--mode", "both", "--angRes", "5", "--scale_factor", "2",
+              "--src", src,
+              "--dst_train", str(tmp_path / "dtr") + os.sep,
+              "--dst_test", str(tmp_path / "dte") + os.sep])
+    assert (tmp_path / "dtr" / "SR_5x5_2x" / "SetC" / "000001.h5").exists()
+    assert (tmp_path / "dte" / "SR_5x5_2x" / "SetC" / "scene_0.h5").exists()
