@@ -48,6 +48,31 @@ def test_convert_ckpt_cli(tmp_path):
     assert e2 == 9 and set(p2) == set(p)
 
 
+def test_option_module_compat(tmp_path):
+    """`option.py` is deliberate API compat with the reference's import-time
+    argparse global (reference option.py:27, imported by utils/utils.py:7).
+    It must expose a parsed `args` with the reference schema, including the
+    `type=bool` quirk where any non-empty --use_pre_pth string is truthy."""
+    script = (
+        "import option\n"
+        "a = option.args\n"
+        "assert a.angRes == 5 and a.scale_factor == 4\n"
+        "assert a.model_name == 'LFT' and a.channels == 64\n"
+        "assert a.use_pre_pth is True  # 'False' is truthy (option.py:8)\n"
+        "assert a.batch_size == 3\n"
+        "print('option-compat OK')\n")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, "-c", script,
+         "--scale_factor", "4", "--use_pre_pth", "False",
+         "--batch_size", "3", "--unknown_flag", "ignored"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), env=env)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "option-compat OK" in res.stdout
+
+
 def test_cal_loss_class_matches_reference_semantics():
     """Vectorized port must equal the reference's O(B*K^2) loop
     (reference utils/utils.py:197-210)."""

@@ -55,6 +55,7 @@ def test_pallas_ang_attention_matches_mha():
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_forward_pallas_matches_tiled_cpu():
     """Full model: pallas impl (interpret on CPU) must equal tiled."""
     import jax
@@ -103,6 +104,7 @@ def test_pallas_ang_attention_grad_matches_xla():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5, name
 
 
+@pytest.mark.slow
 def test_model_grad_pallas_matches_tiled():
     """End-to-end model gradients: pallas impl vs XLA tiled impl."""
     import jax

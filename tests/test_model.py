@@ -118,6 +118,7 @@ def test_validate_params_raises():
         ckpt.validate_params({"a": np.zeros((2, 3)), "b": np.zeros(3)}, shapes)
 
 
+@pytest.mark.slow
 def test_forward_angres3():
     """Model generality: angRes != 5 (3x3 views) must work end-to-end."""
     args = Args(angRes=3, scale_factor=2, channels=16)
@@ -130,6 +131,7 @@ def test_forward_angres3():
         assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 def test_forward_rectangular_pallas():
     """Rectangular views through the pallas offset kernel (h != w)."""
     args = Args(angRes=5, scale_factor=2, channels=16)

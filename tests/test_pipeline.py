@@ -94,6 +94,7 @@ def test_iterate_batches_fixed_shapes(synth_root):
 
 # ------------------------------------------------------- tiled inference ---
 
+@pytest.mark.slow
 def test_tiled_pipeline_matches_patch_loop(synth_root):
     """The one-jit pipeline must equal the reference-style serial loop:
     divide -> per-patch forward -> integrate (reference test.py:83-99)."""
@@ -123,6 +124,7 @@ def test_tiled_pipeline_matches_patch_loop(synth_root):
 
 # ---------------------------------------------------------------- training ---
 
+@pytest.mark.slow
 def test_train_step_and_resume(synth_root, tmp_path):
     from lft_tpu.training.trainer import fit
     args = _args(synth_root, epoch=1)
@@ -150,6 +152,7 @@ def test_steplr_schedule():
 
 # ------------------------------------------------------------ parallelism ---
 
+@pytest.mark.slow
 def test_dp_training_matches_single_device():
     """shard_map DP over 8 virtual devices must reproduce single-device
     training numerics (same global batch). Runs in a fresh subprocess: the
@@ -174,8 +177,33 @@ def test_dp_training_matches_single_device():
     assert "DP == single-device: OK" in res.stdout
 
 
+@pytest.mark.slow
+def test_sharded_eval_matches_unsharded():
+    """Patch-grid-sharded tiled inference over an 8-virtual-device mesh must
+    reproduce the single-device pipeline (the TPU answer to the reference's
+    serial patch loop, test.py:88-95; VERDICT.md Missing #4)."""
+    from lft_tpu.inference.tiled import make_scene_sr
+    from lft_tpu.parallel.mesh import get_mesh
+
+    args = Args(angRes=5, scale_factor=2, channels=8,
+                patch_size_for_test=8, stride_for_test=4, eval_batch=8)
+    model = get_model(args)
+    params = model.init(jax.random.PRNGKey(0), args)
+    scene = jnp.asarray(
+        np.random.RandomState(7).rand(5 * 16, 5 * 16).astype(np.float32))
+
+    sr_single = np.asarray(
+        make_scene_sr(model.apply, args, 16, 16)(params, scene))
+    mesh = get_mesh(8)
+    sr_sharded = np.asarray(
+        make_scene_sr(model.apply, args, 16, 16, mesh=mesh)(params, scene))
+    assert sr_single.shape == sr_sharded.shape == (5 * 32, 5 * 32)
+    np.testing.assert_allclose(sr_sharded, sr_single, atol=2e-6)
+
+
 # ------------------------------------------------------------------- CLI ---
 
+@pytest.mark.slow
 def test_cli_train_then_test(synth_root, tmp_path):
     import train as train_cli
     import test as test_cli
@@ -190,6 +218,18 @@ def test_cli_train_then_test(synth_root, tmp_path):
     # log file exists with reference-style lines
     logs = list((tmp_path / "log").rglob("LFT.txt"))
     assert logs and "Test on" in logs[0].read_text()
+
+
+@pytest.mark.slow
+def test_cli_profile_dir_smoke(synth_root, tmp_path):
+    """--profile_dir must produce a non-empty jax.profiler trace and not
+    break training (VERDICT.md Weak #7)."""
+    import train as train_cli
+    prof = tmp_path / "trace"
+    args = _args(synth_root, epoch=1, path_log=str(tmp_path / "log") + os.sep,
+                 profile_dir=str(prof))
+    train_cli.main(args)
+    assert prof.exists() and any(prof.rglob("*")), "empty profiler trace"
 
 
 def test_device_synth_batch():
