@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--skip_baseline", action="store_true")
     ap.add_argument("--baseline_impl", default="tiled",
                     choices=["dense", "tiled"])
+    ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--train_batch", type=int, default=8)
+    ap.add_argument("--train_scale", type=int, default=2)
+    ap.add_argument("--train_patch", type=int, default=32, help="LR patch")
     ns = ap.parse_args()
 
     import jax
@@ -101,6 +105,42 @@ def main():
         base_value = out_mpx / base_dt
         vs_baseline = value / base_value
 
+    # --- training throughput: the production jitted step (fused-VJP path) ---
+    # Half the framework's story is the train loop it replaces (reference
+    # train.py:111-138, which stalls per-iteration on CPU skimage metrics);
+    # ours keeps metrics on-device inside the step.
+    train_detail = None
+    if not ns.skip_train:
+        from lft_tpu.data.device_synth import synth_batch
+        from lft_tpu.training.optim import make_optimizer
+        from lft_tpu.training.trainer import make_train_step
+        targs = Args(angRes=5, scale_factor=ns.train_scale, channels=64,
+                     batch_size=ns.train_batch, dtype=ns.dtype,
+                     attention_impl=ns.impl)
+        tmodel = get_model(targs)
+        tparams = tmodel.init(jax.random.PRNGKey(0), targs)
+        optimizer = make_optimizer(targs, steps_per_epoch=100)
+        opt_state = optimizer.init(tparams)
+        step = make_train_step(tmodel, optimizer, targs, with_metrics=True)
+        lr_b, hr_b = synth_batch(jax.random.PRNGKey(1), batch=ns.train_batch,
+                                 ang_res=5, patch=ns.train_patch,
+                                 scale=ns.train_scale)
+        tparams, opt_state, aux = step(tparams, opt_state, lr_b, hr_b)
+        force(aux["loss"])                      # compile + warm
+        treps = 3 if ns.quick else 10
+        t0 = time.perf_counter()
+        for _ in range(treps):
+            tparams, opt_state, aux = step(tparams, opt_state, lr_b, hr_b)
+            force(aux["loss"])
+        train_ms = (time.perf_counter() - t0) / treps * 1e3
+        train_detail = {
+            "train_ms_per_step": round(train_ms, 1),
+            "train_samples_per_s": round(ns.train_batch / (train_ms / 1e3), 2),
+            "train_batch": ns.train_batch, "train_scale": ns.train_scale,
+            "train_lr_patch": ns.train_patch,
+            "on_device_metrics": True,
+        }
+
     print(json.dumps({
         "metric": "LFT 5x5 4x full-scene SR throughput (HR SAI-MPx/s/chip)",
         "value": round(value, 3),
@@ -115,6 +155,7 @@ def main():
             "baseline": "reference execution strategy on same chip: "
                         f"serial batch-1 patch loop, {ns.baseline_impl} attn",
             "device": str(jax.devices()[0]),
+            "train": train_detail,
         },
     }))
 

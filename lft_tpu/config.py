@@ -58,6 +58,8 @@ class Args:
     matmul_precision: str = "default"  # default | high | highest
     attention_impl: str = "auto"      # auto | dense | tiled | pallas
     eval_batch: int = 16              # patches per device batch in tiled eval
+    eval_bucket: int = 0              # round scene sizes up to this LR-pixel
+                                      # quantum: O(buckets) compiles, same output
     num_devices: Optional[int] = None  # data-parallel devices (None = all)
     ckpt_format: str = "npz"          # npz | pth
     lr_schedule: str = "step"         # step (reference StepLR) | cosine
@@ -112,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention_impl", type=str, default=d.attention_impl,
                    choices=["auto", "dense", "tiled", "pallas"])
     p.add_argument("--eval_batch", type=int, default=d.eval_batch)
+    p.add_argument("--eval_bucket", type=int, default=d.eval_bucket,
+                   help="pad scene geometry to multiples of this many LR "
+                        "pixels so a multi-dataset sweep compiles once per "
+                        "bucket (0 = exact sizes); outputs are identical")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--ckpt_format", type=str, default=d.ckpt_format,
                    choices=["npz", "pth"])

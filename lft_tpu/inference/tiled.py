@@ -68,28 +68,65 @@ def make_scene_sr(model_apply, args, h0: int, w0: int,
     return jax.jit(pipeline)
 
 
+def _bucketed_size(n: int, need: int, bucket: int) -> int:
+    return -(-(n + need) // bucket) * bucket
+
+
 class ScenePipelineCache:
     """Caches one compiled pipeline per (h0, w0) scene geometry -- the five
     benchmark datasets have a handful of distinct scene sizes, so steady-
-    state evaluation never recompiles."""
+    state evaluation never recompiles.
+
+    `bucket > 0` additionally rounds scene geometry up to multiples of
+    `bucket` LR pixels (SURVEY.md §7 hard-part (d)): a multi-dataset sweep
+    then compiles O(buckets) pipelines instead of O(distinct sizes). Outputs
+    are identical to the unbucketed pipeline: the scene is extended with the
+    exact symmetric-then-zero pattern the tiling would produce past the true
+    boundary (mirror for `bdr` pixels -- what `lf_divide`'s ImageExtend halo
+    yields -- then zeros, matching its `hE/wE` extension), sized so every
+    patch whose central crop reaches the real output reads identical input;
+    the extra patches below/right are computed and discarded.
+    """
 
     def __init__(self, model_apply, args, eval_batch: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, bucket: int = 0):
         self.model_apply = model_apply
         self.args = args
         self.eval_batch = eval_batch
         self.mesh = mesh
+        self.bucket = bucket or 0
         self._cache = {}
+
+    def _pipeline(self, h0: int, w0: int):
+        if (h0, w0) not in self._cache:
+            self._cache[(h0, w0)] = make_scene_sr(
+                self.model_apply, self.args, h0, w0, self.eval_batch,
+                self.mesh)
+        return self._cache[(h0, w0)]
 
     def __call__(self, params, lr_mosaic: jnp.ndarray) -> jnp.ndarray:
         H, W = lr_mosaic.shape
         A = self.args.angRes
-        key = (H // A, W // A)
-        if key not in self._cache:
-            self._cache[key] = make_scene_sr(self.model_apply, self.args,
-                                             key[0], key[1], self.eval_batch,
-                                             self.mesh)
-        return self._cache[key](params, lr_mosaic)
+        S = self.args.scale_factor
+        h0, w0 = H // A, W // A
+        patch = self.args.patch_size_for_test
+        stride = self.args.stride_for_test
+        bdr = (patch - stride) // 2
+        # a kept patch's input window reaches at most `patch - bdr` past the
+        # scene edge; content up to there must match the unbucketed tiling
+        need = patch - bdr
+        if not self.bucket:
+            return self._pipeline(h0, w0)(params, lr_mosaic)
+        h0b = _bucketed_size(h0, need, self.bucket)
+        w0b = _bucketed_size(w0, need, self.bucket)
+        views = lr_mosaic.reshape(A, h0, A, w0).transpose(0, 2, 1, 3)
+        ext = jnp.pad(views, [(0, 0), (0, 0), (0, bdr), (0, bdr)],
+                      mode="symmetric")
+        ext = jnp.pad(ext, [(0, 0), (0, 0), (0, h0b - h0 - bdr),
+                            (0, w0b - w0 - bdr)])
+        sr_b = self._pipeline(h0b, w0b)(params, views_4d_to_mosaic(ext))
+        sr_views = sr_b.reshape(A, h0b * S, A, w0b * S).transpose(0, 2, 1, 3)
+        return views_4d_to_mosaic(sr_views[:, :, :h0 * S, :w0 * S])
 
 
 def evaluate_dataset(model_apply, params, args, dataset, cache=None,

@@ -47,7 +47,8 @@ def main(args):
         mesh = get_mesh(args.num_devices)
         logger.log_string(f"Sharded tiled inference over mesh {mesh}")
     cache = ScenePipelineCache(model.apply, args, eval_batch=args.eval_batch,
-                               mesh=mesh)
+                               mesh=mesh,
+                               bucket=getattr(args, "eval_bucket", 0))
 
     logger.log_string("\nStart test...")
     if args.profile_dir:

@@ -177,6 +177,26 @@ def test_dp_training_matches_single_device():
     assert "DP == single-device: OK" in res.stdout
 
 
+def test_bucketed_eval_matches_exact():
+    """Scene-size bucketing must change compile count, not outputs
+    (SURVEY.md §7 hard-part (d); VERDICT.md round-1 #8). Two scene sizes in
+    one bucket -> one compiled pipeline, bit-matching the exact-size path."""
+    args = Args(angRes=5, scale_factor=2, channels=8,
+                patch_size_for_test=8, stride_for_test=4, eval_batch=4)
+    model = get_model(args)
+    params = model.init(jax.random.PRNGKey(0), args)
+    exact = ScenePipelineCache(model.apply, args, eval_batch=4)
+    bucketed = ScenePipelineCache(model.apply, args, eval_batch=4, bucket=16)
+    rng = np.random.RandomState(11)
+    for h0, w0 in [(10, 12), (9, 11)]:  # both round up to the same bucket
+        scene = jnp.asarray(rng.rand(5 * h0, 5 * w0).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(bucketed(params, scene)),
+                                   np.asarray(exact(params, scene)),
+                                   atol=1e-6)
+    assert len(bucketed._cache) == 1, "bucketing must reuse one pipeline"
+    assert len(exact._cache) == 2
+
+
 @pytest.mark.slow
 def test_sharded_eval_matches_unsharded():
     """Patch-grid-sharded tiled inference over an 8-virtual-device mesh must
