@@ -1,12 +1,28 @@
 """Fused angular attention -- public wrapper.
 
-Implementation (with custom VJP) lives in lft_tpu/kernels/ang_attn_vjp.py;
-see that module for the kernel design. This module keeps the historical
-entry point name.
+Two trainable (custom-VJP) implementations exist:
+
+* `ang_attn_mxu.ang_attention_mxu` -- block-diagonal head-packed MXU
+  kernel (one full-size [128, 128] x [128, 1024]-class contraction per
+  5-pixel group). The default: measured fastest on v5e.
+* `ang_attn_vjp.ang_attention_pallas_ad` -- key-view-sweep online-softmax
+  kernel (VPU-heavy). Kept as the fallback / A-B reference.
 """
+
+import os
 
 from lft_tpu.kernels.ang_attn_vjp import (  # noqa: F401
     ang_attention, ang_attention_pallas_ad,
 )
+from lft_tpu.kernels.ang_attn_mxu import ang_attention_mxu  # noqa: F401
 
-ang_attention_pallas = ang_attention_pallas_ad
+
+def ang_attention_pallas(qn, v, in_proj_weight, out_proj_weight,
+                         num_heads):
+    """Default fused angular attention. Env `LFT_ANG_VARIANT=sweep`
+    selects the key-sweep kernel (perf A/B without code edits)."""
+    if os.environ.get("LFT_ANG_VARIANT", "mxu") == "sweep":
+        return ang_attention_pallas_ad(qn, v, in_proj_weight,
+                                       out_proj_weight, num_heads)
+    return ang_attention_mxu(qn, v, in_proj_weight, out_proj_weight,
+                             num_heads)

@@ -1,0 +1,275 @@
+"""Block-diagonal angular attention on the MXU (Pallas TPU kernel).
+
+The angular transformer is full MHSA over A^2 = 25 view tokens per pixel
+(reference model/LFT.py:194-238) -- per-(pixel, head) score matrices of
+25 x 25 with dh = 8. Neither XLA's batched matmul (pads 25 -> 128 on both
+operand tiles) nor the key-sweep kernel (lft_tpu/kernels/ang_attn_vjp.py,
+25 shifted VPU passes) uses the MXU well at this shape.
+
+This kernel packs G pixels AND all heads into full-size MXU contractions
+via head-masked key replication:
+
+* pixels are first lane-packed in PAIRS (two pixels' tokens side by side:
+  C 64 -> 128 channels, H 8 -> 16 blocked heads -- per-head attention is
+  independent, so this is exact while filling all 128 vector lanes);
+* a group = G = 128 // A2 packed pixels' tokens, q_g [G*A2 <= 128, C];
+* K_rep [H*128, C]: row block h holds the group's keys with all channels
+  outside head h zeroed (VMEM elementwise, no transposes), padded to a
+  128-row block;
+* scores = q_g @ K_rep^T: ONE [<=128, 128] x [128, H*128] MXU matmul
+  computes every (pixel, head, query-view, key-view) score; a static
+  block-diagonal mask removes p != p' cross-talk and the pad columns;
+* softmax runs per 128-wide head block -- lane-tile-aligned slices, plain
+  f32 max/exp/sum, no cross-head matmuls or relayouts;
+* out = a @ V_rep: the head-masking of V_rep makes each output channel d
+  pick up exactly its own head's attention rows.
+
+Both contractions are [128, 128, 2048]-class MXU shapes. The custom VJP
+reuses the same structure (standard dense-attention backward; dK/dV
+de-replicated with the same head masks).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 128  # per-head key-column block (lane-tile aligned)
+
+
+@functools.lru_cache(maxsize=None)
+def _consts(A2: int, C: int, num_heads: int, G: int):
+    """Static (mask [G*A2, H*BLK], head channel masks HM [H, C])."""
+    rows = G * A2
+    dh = C // num_heads
+    r_pix = np.arange(rows) // A2                       # row -> pixel
+    c_blk = np.arange(BLK)
+    c_pix = np.where(c_blk < rows, c_blk // A2, -1)     # pad cols -> -1
+    ok = (r_pix[:, None] == c_pix[None, :])             # [rows, BLK]
+    mask_one = np.where(ok, 0.0, -1e30).astype(np.float32)
+    mask = np.tile(mask_one, (1, num_heads))            # same per head block
+    HM = np.zeros((num_heads, C), np.float32)
+    for h in range(num_heads):
+        HM[h, h * dh:(h + 1) * dh] = 1.0
+    return mask, HM
+
+
+def _replicate(x, hm_ref, num_heads, rows):
+    """[rows, C] -> [H*BLK, C]: block h = x * head_mask_h, zero-padded to
+    BLK rows."""
+    zpad = jnp.zeros((BLK - rows, x.shape[1]), x.dtype)
+    blocks = []
+    for h in range(num_heads):
+        blocks.append(x * hm_ref[h:h + 1, :].astype(x.dtype))
+        blocks.append(zpad)
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _fwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref,
+                o_ref, m_ref, l_ref, *, num_heads, with_stats):
+    C = q_ref.shape[-1]
+    rows = q_ref.shape[1]
+    scale = jnp.float32(float(C // num_heads) ** -0.5)
+    q_g = q_ref[0]
+    k_rep = _replicate(k_ref[0], hm_ref, num_heads, rows)     # [H*BLK, C]
+    v_rep = _replicate(v_ref[0], hm_ref, num_heads, rows)
+    s = jax.lax.dot_general(
+        q_g, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [rows, H*BLK]
+    s = s * scale + mask_ref[:, :]
+    a_blocks, ms, ls = [], [], []
+    for h in range(num_heads):                # lane-tile-aligned 128 slices
+        blk = s[:, h * BLK:(h + 1) * BLK]
+        m = jnp.max(blk, axis=-1, keepdims=True)              # [rows, 1]
+        e = jnp.exp(blk - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        a_blocks.append((e / l).astype(v_rep.dtype))
+        if with_stats:
+            ms.append(m)
+            ls.append(l)
+    a = jnp.concatenate(a_blocks, axis=-1)                    # [rows, H*BLK]
+    out = jax.lax.dot_general(
+        a, v_rep, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [rows, C]
+    o_ref[0] = out.astype(o_ref.dtype)
+    if with_stats:
+        m_ref[0] = jnp.concatenate(ms, axis=-1)               # [rows, H]
+        l_ref[0] = jnp.concatenate(ls, axis=-1)
+
+
+def _bwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref, do_ref,
+                m_ref, l_ref, dq_ref, dk_ref, dv_ref, *, num_heads):
+    C = q_ref.shape[-1]
+    rows = q_ref.shape[1]
+    scale = jnp.float32(float(C // num_heads) ** -0.5)
+    q_g = q_ref[0]
+    do_g = do_ref[0]
+    k_rep = _replicate(k_ref[0], hm_ref, num_heads, rows)
+    v_rep = _replicate(v_ref[0], hm_ref, num_heads, rows)
+    s = jax.lax.dot_general(
+        q_g, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + mask_ref[:, :]
+    dov = jax.lax.dot_general(
+        do_g, v_rep, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [rows, H*BLK]
+    a_blocks, ds_blocks = [], []
+    for h in range(num_heads):
+        blk = s[:, h * BLK:(h + 1) * BLK]
+        a_h = jnp.exp(blk - m_ref[0][:, h:h + 1]) / l_ref[0][:, h:h + 1]
+        dov_h = dov[:, h * BLK:(h + 1) * BLK]
+        D_h = jnp.sum(a_h * dov_h, axis=-1, keepdims=True)    # [rows, 1]
+        ds_blocks.append((a_h * (dov_h - D_h) * scale).astype(q_g.dtype))
+        a_blocks.append(a_h.astype(q_g.dtype))
+    ds = jnp.concatenate(ds_blocks, axis=-1)                  # [rows, H*BLK]
+    a = jnp.concatenate(a_blocks, axis=-1)
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k_rep, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_rep = jax.lax.dot_general(
+        ds, q_g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [H*BLK, C]
+    dv_rep = jax.lax.dot_general(
+        a, do_g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk = jnp.zeros_like(dk_ref[0])
+    dv = jnp.zeros_like(dv_ref[0])
+    for h in range(num_heads):
+        hm = hm_ref[h:h + 1, :]
+        dk = dk + dk_rep[h * BLK:h * BLK + rows] * hm
+        dv = dv + dv_rep[h * BLK:h * BLK + rows] * hm
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _prep_groups(x, A2, C, G):
+    """[N, A2, C] -> ([n_groups, G*A2, C], N) padded to G-multiples."""
+    N = x.shape[0]
+    pad = (-N) % G
+    if pad:
+        x = jnp.pad(x, [(0, pad), (0, 0), (0, 0)])
+    return x.reshape((N + pad) // G, G * A2, C), N
+
+
+def _specs(rows, C, num_heads):
+    grp = pl.BlockSpec((1, rows, C), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    stath = pl.BlockSpec((1, rows, num_heads), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return grp, full, stath
+
+
+def _fwd(q, k, v, num_heads, with_stats):
+    N, A2, C = q.shape
+    G = max(BLK // A2, 1)
+    rows = G * A2
+    mask, hm = (jnp.asarray(c) for c in _consts(A2, C, num_heads, G))
+    hm = hm.astype(q.dtype)
+    qg, _ = _prep_groups(q, A2, C, G)
+    kg, _ = _prep_groups(k, A2, C, G)
+    vg, _ = _prep_groups(v, A2, C, G)
+    n_groups = qg.shape[0]
+    grp, full, stath = _specs(rows, C, num_heads)
+    interpret = jax.devices()[0].platform != "tpu"
+    kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
+                               with_stats=with_stats)
+    out, m, l = pl.pallas_call(
+        kernel, interpret=interpret, grid=(n_groups,),
+        in_specs=[full(rows, num_heads * BLK), full(num_heads, C),
+                  grp, grp, grp],
+        out_specs=(grp, stath, stath),
+        out_shape=(jax.ShapeDtypeStruct((n_groups, rows, C), q.dtype),
+                   jax.ShapeDtypeStruct((n_groups, rows, num_heads),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_groups, rows, num_heads),
+                                        jnp.float32)),
+    )(mask, hm, qg, kg, vg)
+    return out.reshape(-1, A2, C)[:N], m, l
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def ang_attention_blockdiag(q, k, v, num_heads: int):
+    """Differentiable block-diagonal MXU attention over the view axis:
+    [N, A2, C] projected q/k/v -> [N, A2, C]."""
+    out, _, _ = _fwd(q, k, v, num_heads, with_stats=False)
+    return out
+
+
+def _vjp_fwd(q, k, v, num_heads):
+    out, m, l = _fwd(q, k, v, num_heads, with_stats=True)
+    return out, (q, k, v, m, l)
+
+
+def _vjp_bwd(num_heads, res, dout):
+    q, k, v, m, l = res
+    N, A2, C = q.shape
+    G = max(BLK // A2, 1)
+    rows = G * A2
+    mask, hm = (jnp.asarray(c) for c in _consts(A2, C, num_heads, G))
+    io_dtype = (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
+                else q.dtype)
+    hm = hm.astype(io_dtype)
+    qg, _ = _prep_groups(q.astype(io_dtype), A2, C, G)
+    kg, _ = _prep_groups(k.astype(io_dtype), A2, C, G)
+    vg, _ = _prep_groups(v.astype(io_dtype), A2, C, G)
+    dog, _ = _prep_groups(dout.astype(io_dtype), A2, C, G)
+    n_groups = qg.shape[0]
+    grp, full, stath = _specs(rows, C, num_heads)
+    interpret = jax.devices()[0].platform != "tpu"
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads)
+    dq, dk, dv = pl.pallas_call(
+        kernel, interpret=interpret, grid=(n_groups,),
+        in_specs=[full(rows, num_heads * BLK), full(num_heads, C),
+                  grp, grp, grp, grp, stath, stath],
+        out_specs=(grp, grp, grp),
+        out_shape=(jax.ShapeDtypeStruct((n_groups, rows, C), io_dtype),
+                   jax.ShapeDtypeStruct((n_groups, rows, C), jnp.float32),
+                   jax.ShapeDtypeStruct((n_groups, rows, C), jnp.float32)),
+    )(mask, hm, qg, kg, vg, dog, m, l)
+    tr = lambda x: x.reshape(-1, A2, C)[:N]
+    return (tr(dq).astype(q.dtype), tr(dk).astype(k.dtype),
+            tr(dv).astype(v.dtype))
+
+
+ang_attention_blockdiag.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _pack_pairs(x, A2, C):
+    """[N, A2, C] -> [N/2, A2, 2C]: two pixels' tokens side by side.
+    Exact: per-head attention is independent and heads stay blocked."""
+    N = x.shape[0]
+    return x.reshape(N // 2, 2, A2, C).transpose(0, 2, 1, 3) \
+            .reshape(N // 2, A2, 2 * C)
+
+
+def _unpack_pairs(x, A2, C):
+    N2 = x.shape[0]
+    return x.reshape(N2, A2, 2, C).transpose(0, 2, 1, 3) \
+            .reshape(N2 * 2, A2, C)
+
+
+def ang_attention_mxu(qn, v, in_proj_weight, out_proj_weight,
+                      num_heads: int):
+    """Differentiable drop-in for the AngTrans MHSA (q = k = qn normed,
+    v raw; torch-packed projections) on [..., A2, C] tokens."""
+    *lead, A2, C = qn.shape
+    wq, wk, wv = jnp.split(in_proj_weight, 3, axis=0)
+    q_p = (qn @ wq.T).reshape(-1, A2, C)
+    k_p = (qn @ wk.T).reshape(-1, A2, C)
+    v_p = (v @ wv.T).reshape(-1, A2, C)
+    N = q_p.shape[0]
+    pack = 2 if (2 * C <= 128 and N % 2 == 0) else 1
+    if pack == 2:
+        out = ang_attention_blockdiag(
+            _pack_pairs(q_p, A2, C), _pack_pairs(k_p, A2, C),
+            _pack_pairs(v_p, A2, C), 2 * num_heads)
+        out = _unpack_pairs(out, A2, C)
+    else:
+        out = ang_attention_blockdiag(q_p, k_p, v_p, num_heads)
+    return out.reshape(*lead, A2, C) @ out_proj_weight.T

@@ -127,13 +127,34 @@ def local_attention_pallas(qn: jnp.ndarray, v: jnp.ndarray,
                            in_proj_weight: jnp.ndarray,
                            out_proj_weight: jnp.ndarray,
                            num_heads: int, k: int = 5,
-                           t: int = 8, variant: str = "offset") -> jnp.ndarray:
+                           t: int = 8, variant: str = "auto") -> jnp.ndarray:
     """Drop-in replacement for `local_attention_tiled`: q = k = `qn` (the
     reference's asymmetric pre-norm), v raw; torch-packed projections.
     The q/k/v/out projections run as plain XLA GEMMs; only the windowed
-    attention itself is a kernel."""
+    attention itself is a kernel.
+
+    variant: 'auto' resolves per context via a hybrid custom-VJP
+    (kernels/spa_attn.py): offset-sweep kernel for the inference primal,
+    tile-dense MXU kernels for the training fwd/bwd -- each measured
+    fastest in its role on v5e. 'mxu' | 'offset' | 'tile' force one
+    implementation for both roles; env `LFT_SPA_VARIANT` overrides
+    'auto' (perf A/B without code edits)."""
+    import os
+    if variant == "auto":
+        variant = os.environ.get("LFT_SPA_VARIANT", "auto")
     B, h, w, E = qn.shape
-    use_offset = variant == "offset" and h * w <= _MAX_HW_OFFSET
+    from lft_tpu.kernels.spa_attn import (
+        local_attention_tile_mxu, pick_tile, windowed_attention_hybrid)
+    tileable = pick_tile(h, w) is not None and E % num_heads == 0
+    if variant == "auto" and tileable and h * w <= _MAX_HW_OFFSET:
+        return local_attention_tile_mxu(qn, v, in_proj_weight,
+                                        out_proj_weight, num_heads, k,
+                                        attention=windowed_attention_hybrid)
+    if variant in ("auto", "mxu") and tileable:
+        return local_attention_tile_mxu(qn, v, in_proj_weight,
+                                        out_proj_weight, num_heads, k)
+    use_offset = (variant in ("auto", "offset")
+                  and h * w <= _MAX_HW_OFFSET)
     if not use_offset and (h % t or w % t):
         from lft_tpu.ops.attention import local_attention
         return local_attention(qn, v, in_proj_weight, out_proj_weight,

@@ -104,6 +104,93 @@ def test_pallas_ang_attention_grad_matches_xla():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5, name
 
 
+def test_spa_mxu_forward_matches_tiled():
+    """Tile-dense MXU kernel (kernels/spa_attn.py) vs the XLA tiled path."""
+    from lft_tpu.kernels.spa_attn import local_attention_tile_mxu
+    B, h, w, E, H = 2, 32, 32, 128, 8
+    qn = _rand((B, h, w, E), 30)
+    v = _rand((B, h, w, E), 31)
+    wi = _rand((3 * E, E), 32, 0.2)
+    wo = _rand((E, E), 33, 0.2)
+    ref = A.local_attention(qn, v, wi, wo, H, k=5, impl="tiled")
+    out = local_attention_tile_mxu(qn, v, wi, wo, H, k=5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_spa_mxu_grad_matches_xla():
+    """Custom VJP of the tile-dense MXU spatial kernel vs XLA autodiff."""
+    from lft_tpu.kernels.spa_attn import local_attention_tile_mxu
+    B, h, w, E, H = 1, 16, 16, 64, 8
+    qn = _rand((B, h, w, E), 34)
+    v = _rand((B, h, w, E), 35)
+    wi = _rand((3 * E, E), 36, 0.1)
+    wo = _rand((E, E), 37, 0.1)
+    f_ref = lambda *a: jnp.sum(jnp.sin(A.local_attention(*a, H, k=5, impl="tiled")))
+    f_ker = lambda *a: jnp.sum(jnp.sin(local_attention_tile_mxu(*a, H, k=5)))
+    g1 = jax.grad(f_ref, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    g2 = jax.grad(f_ker, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    for name, a, b in zip(["dqn", "dv", "dwi", "dwo"], g1, g2):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5, name
+
+
+def test_spa_hybrid_forward_and_grad():
+    """Hybrid custom-VJP (offset primal / MXU fwd+bwd): value must match the
+    XLA tiled path and gradients must match XLA autodiff."""
+    from lft_tpu.kernels.spa_attn import (
+        local_attention_tile_mxu, windowed_attention_hybrid)
+    B, h, w, E, H = 1, 16, 16, 64, 8
+    qn = _rand((B, h, w, E), 50)
+    v = _rand((B, h, w, E), 51)
+    wi = _rand((3 * E, E), 52, 0.1)
+    wo = _rand((E, E), 53, 0.1)
+    hyb = lambda *a: local_attention_tile_mxu(
+        *a, H, k=5, attention=windowed_attention_hybrid)
+    ref = A.local_attention(qn, v, wi, wo, H, k=5, impl="tiled")
+    np.testing.assert_allclose(np.asarray(hyb(qn, v, wi, wo)),
+                               np.asarray(ref), atol=2e-5, rtol=1e-4)
+    f_ref = lambda *a: jnp.sum(jnp.sin(A.local_attention(*a, H, k=5, impl="tiled")))
+    f_ker = lambda *a: jnp.sum(jnp.sin(hyb(*a)))
+    g1 = jax.grad(f_ref, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    g2 = jax.grad(f_ker, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    for name, a, b in zip(["dqn", "dv", "dwi", "dwo"], g1, g2):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5, name
+
+
+def test_ang_mxu_forward_odd_rows():
+    """Block-diag MXU angular kernel, odd pixel count (pair-packing off) and
+    non-multiple-of-G row padding."""
+    from lft_tpu.kernels.ang_attn_mxu import ang_attention_mxu
+    B, P, T, C, H = 1, 37, 25, 64, 8   # N = 37 rows: odd, not % G
+    qn = _rand((B, P, T, C), 38)
+    v = _rand((B, P, T, C), 39)
+    wi = _rand((3 * C, C), 40, 0.2)
+    wo = _rand((C, C), 41, 0.2)
+    ref = A.multi_head_attention(qn, qn, v, wi, wo, H)
+    out = ang_attention_mxu(qn, v, wi, wo, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ang_mxu_grad_matches_xla():
+    """Custom VJP of the block-diag MXU angular kernel (pair-packed path)."""
+    from lft_tpu.kernels.ang_attn_mxu import ang_attention_mxu
+    B, P, T, C, H = 2, 20, 25, 64, 8
+    qn = _rand((B, P, T, C), 42)
+    v = _rand((B, P, T, C), 43)
+    wi = _rand((3 * C, C), 44, 0.1)
+    wo = _rand((C, C), 45, 0.1)
+    f_ref = lambda *a: jnp.sum(jnp.sin(A.multi_head_attention(a[0], a[0], a[1], a[2], a[3], H)))
+    f_ker = lambda *a: jnp.sum(jnp.sin(ang_attention_mxu(*a, H)))
+    g1 = jax.grad(f_ref, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    g2 = jax.grad(f_ker, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    for name, a, b in zip(["dqn", "dv", "dwi", "dwo"], g1, g2):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5, name
+
+
 @pytest.mark.slow
 def test_model_grad_pallas_matches_tiled():
     """End-to-end model gradients: pallas impl vs XLA tiled impl."""
