@@ -61,13 +61,17 @@ def _consts(A2: int, C: int, num_heads: int, G: int):
 
 def _replicate(x, hm_ref, num_heads, rows):
     """[rows, C] -> [H*BLK, C]: block h = x * head_mask_h, zero-padded to
-    BLK rows."""
-    zpad = jnp.zeros((BLK - rows, x.shape[1]), x.dtype)
-    blocks = []
-    for h in range(num_heads):
-        blocks.append(x * hm_ref[h:h + 1, :].astype(x.dtype))
-        blocks.append(zpad)
-    return jnp.concatenate(blocks, axis=0)
+    BLK rows. One broadcast multiply (not H concats); the
+    [H, BLK, C] -> [H*BLK, C] reshape is layout-free (row-major)."""
+    C = x.shape[1]
+    xp = jnp.concatenate(
+        [x, jnp.zeros((BLK - rows, C), x.dtype)], axis=0)     # [BLK, C]
+    hm = hm_ref[:, :].astype(x.dtype)                         # [H, C]
+    rep = xp[None, :, :] * hm[:, None, :]
+    return rep.reshape(num_heads * BLK, C)
+
+
+GPS = 8  # groups per grid step: amortizes per-step DMA/bookkeeping
 
 
 def _fwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref,
@@ -75,31 +79,32 @@ def _fwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref,
     C = q_ref.shape[-1]
     rows = q_ref.shape[1]
     scale = jnp.float32(float(C // num_heads) ** -0.5)
-    q_g = q_ref[0]
-    k_rep = _replicate(k_ref[0], hm_ref, num_heads, rows)     # [H*BLK, C]
-    v_rep = _replicate(v_ref[0], hm_ref, num_heads, rows)
-    s = jax.lax.dot_general(
-        q_g, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                   # [rows, H*BLK]
-    s = s * scale + mask_ref[:, :]
-    a_blocks, ms, ls = [], [], []
-    for h in range(num_heads):                # lane-tile-aligned 128 slices
-        blk = s[:, h * BLK:(h + 1) * BLK]
-        m = jnp.max(blk, axis=-1, keepdims=True)              # [rows, 1]
-        e = jnp.exp(blk - m)
-        l = jnp.sum(e, axis=-1, keepdims=True)
-        a_blocks.append((e / l).astype(v_rep.dtype))
+    for g in range(q_ref.shape[0]):
+        q_g = q_ref[g]
+        k_rep = _replicate(k_ref[g], hm_ref, num_heads, rows)  # [H*BLK, C]
+        v_rep = _replicate(v_ref[g], hm_ref, num_heads, rows)
+        s = jax.lax.dot_general(
+            q_g, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [rows, H*BLK]
+        s = s * scale + mask_ref[:, :]
+        a_blocks, ms, ls = [], [], []
+        for h in range(num_heads):            # lane-tile-aligned 128 slices
+            blk = s[:, h * BLK:(h + 1) * BLK]
+            m = jnp.max(blk, axis=-1, keepdims=True)          # [rows, 1]
+            e = jnp.exp(blk - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            a_blocks.append((e / l).astype(v_rep.dtype))
+            if with_stats:
+                ms.append(m)
+                ls.append(l)
+        a = jnp.concatenate(a_blocks, axis=-1)                # [rows, H*BLK]
+        out = jax.lax.dot_general(
+            a, v_rep, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [rows, C]
+        o_ref[g] = out.astype(o_ref.dtype)
         if with_stats:
-            ms.append(m)
-            ls.append(l)
-    a = jnp.concatenate(a_blocks, axis=-1)                    # [rows, H*BLK]
-    out = jax.lax.dot_general(
-        a, v_rep, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                   # [rows, C]
-    o_ref[0] = out.astype(o_ref.dtype)
-    if with_stats:
-        m_ref[0] = jnp.concatenate(ms, axis=-1)               # [rows, H]
-        l_ref[0] = jnp.concatenate(ls, axis=-1)
+            m_ref[g] = jnp.concatenate(ms, axis=-1)           # [rows, H]
+            l_ref[g] = jnp.concatenate(ls, axis=-1)
 
 
 def _bwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref, do_ref,
@@ -107,60 +112,63 @@ def _bwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref, do_ref,
     C = q_ref.shape[-1]
     rows = q_ref.shape[1]
     scale = jnp.float32(float(C // num_heads) ** -0.5)
-    q_g = q_ref[0]
-    do_g = do_ref[0]
-    k_rep = _replicate(k_ref[0], hm_ref, num_heads, rows)
-    v_rep = _replicate(v_ref[0], hm_ref, num_heads, rows)
-    s = jax.lax.dot_general(
-        q_g, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale + mask_ref[:, :]
-    dov = jax.lax.dot_general(
-        do_g, v_rep, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                   # [rows, H*BLK]
-    a_blocks, ds_blocks = [], []
-    for h in range(num_heads):
-        blk = s[:, h * BLK:(h + 1) * BLK]
-        a_h = jnp.exp(blk - m_ref[0][:, h:h + 1]) / l_ref[0][:, h:h + 1]
-        dov_h = dov[:, h * BLK:(h + 1) * BLK]
-        D_h = jnp.sum(a_h * dov_h, axis=-1, keepdims=True)    # [rows, 1]
-        ds_blocks.append((a_h * (dov_h - D_h) * scale).astype(q_g.dtype))
-        a_blocks.append(a_h.astype(q_g.dtype))
-    ds = jnp.concatenate(ds_blocks, axis=-1)                  # [rows, H*BLK]
-    a = jnp.concatenate(a_blocks, axis=-1)
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k_rep, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    dk_rep = jax.lax.dot_general(
-        ds, q_g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                   # [H*BLK, C]
-    dv_rep = jax.lax.dot_general(
-        a, do_g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dk = jnp.zeros_like(dk_ref[0])
-    dv = jnp.zeros_like(dv_ref[0])
-    for h in range(num_heads):
-        hm = hm_ref[h:h + 1, :]
-        dk = dk + dk_rep[h * BLK:h * BLK + rows] * hm
-        dv = dv + dv_rep[h * BLK:h * BLK + rows] * hm
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    for g in range(q_ref.shape[0]):
+        q_g = q_ref[g]
+        do_g = do_ref[g]
+        k_rep = _replicate(k_ref[g], hm_ref, num_heads, rows)
+        v_rep = _replicate(v_ref[g], hm_ref, num_heads, rows)
+        s = jax.lax.dot_general(
+            q_g, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + mask_ref[:, :]
+        dov = jax.lax.dot_general(
+            do_g, v_rep, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [rows, H*BLK]
+        a_blocks, ds_blocks = [], []
+        for h in range(num_heads):
+            blk = s[:, h * BLK:(h + 1) * BLK]
+            a_h = jnp.exp(blk - m_ref[g][:, h:h + 1]) / l_ref[g][:, h:h + 1]
+            dov_h = dov[:, h * BLK:(h + 1) * BLK]
+            D_h = jnp.sum(a_h * dov_h, axis=-1, keepdims=True)  # [rows, 1]
+            ds_blocks.append((a_h * (dov_h - D_h) * scale).astype(q_g.dtype))
+            a_blocks.append(a_h.astype(q_g.dtype))
+        ds = jnp.concatenate(ds_blocks, axis=-1)              # [rows, H*BLK]
+        a = jnp.concatenate(a_blocks, axis=-1)
+        dq_ref[g] = jax.lax.dot_general(
+            ds, k_rep, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_rep = jax.lax.dot_general(
+            ds, q_g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [H*BLK, C]
+        dv_rep = jax.lax.dot_general(
+            a, do_g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk = jnp.zeros_like(dk_ref[g])
+        dv = jnp.zeros_like(dv_ref[g])
+        for h in range(num_heads):
+            hm = hm_ref[h:h + 1, :]
+            dk = dk + dk_rep[h * BLK:h * BLK + rows] * hm
+            dv = dv + dv_rep[h * BLK:h * BLK + rows] * hm
+        dk_ref[g] = dk.astype(dk_ref.dtype)
+        dv_ref[g] = dv.astype(dv_ref.dtype)
 
 
 def _prep_groups(x, A2, C, G):
-    """[N, A2, C] -> ([n_groups, G*A2, C], N) padded to G-multiples."""
+    """[N, A2, C] -> ([n_groups, G*A2, C], N): N padded so the group count
+    is a multiple of GPS (pad rows attend only to themselves; dropped on
+    return)."""
     N = x.shape[0]
-    pad = (-N) % G
+    pad = (-N) % (G * GPS)
     if pad:
         x = jnp.pad(x, [(0, pad), (0, 0), (0, 0)])
     return x.reshape((N + pad) // G, G * A2, C), N
 
 
 def _specs(rows, C, num_heads):
-    grp = pl.BlockSpec((1, rows, C), lambda i: (i, 0, 0),
+    grp = pl.BlockSpec((GPS, rows, C), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
-    stath = pl.BlockSpec((1, rows, num_heads), lambda i: (i, 0, 0),
+    stath = pl.BlockSpec((GPS, rows, num_heads), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     return grp, full, stath
 
@@ -180,7 +188,7 @@ def _fwd(q, k, v, num_heads, with_stats):
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
                                with_stats=with_stats)
     out, m, l = pl.pallas_call(
-        kernel, interpret=interpret, grid=(n_groups,),
+        kernel, interpret=interpret, grid=(n_groups // GPS,),
         in_specs=[full(rows, num_heads * BLK), full(num_heads, C),
                   grp, grp, grp],
         out_specs=(grp, stath, stath),
@@ -224,7 +232,7 @@ def _vjp_bwd(num_heads, res, dout):
     interpret = jax.devices()[0].platform != "tpu"
     kernel = functools.partial(_bwd_kernel, num_heads=num_heads)
     dq, dk, dv = pl.pallas_call(
-        kernel, interpret=interpret, grid=(n_groups,),
+        kernel, interpret=interpret, grid=(n_groups // GPS,),
         in_specs=[full(rows, num_heads * BLK), full(num_heads, C),
                   grp, grp, grp, grp, stath, stath],
         out_specs=(grp, grp, grp),

@@ -285,15 +285,22 @@ windowed_attention_mxu.defvjp(_vjp_fwd, _vjp_bwd)
 def windowed_attention_hybrid(q_img, k_img, v_img, num_heads: int, k: int):
     """Windowed attention with per-context kernel choice (measured on v5e):
 
-    * primal (inference, no grad trace): the offset-sweep kernel
-      (local_attn_vjp.py) -- fastest forward at production patch shapes
-      (15.6 vs 11.7 MPx/s full-pipeline);
+    * primal (inference, no grad trace): the head-packed MXU kernel
+      (spa_attn_hp.py, 7.4 ms/op at the production chunk shape) when its
+      halo fits; else the offset-sweep kernel (local_attn_vjp.py,
+      10.7 ms/op);
     * VJP fwd + bwd (training): this module's tile-dense MXU kernels --
       233 vs 374 ms/step on the flagship train step, and no VMEM-OOM
       shapes in the backward.
 
     Caller must ensure BOTH gates hold: h*w small enough for the offset
     kernel's VMEM budget and `pick_tile(h, w)` valid."""
+    from lft_tpu.kernels.spa_attn_hp import (
+        headpacked_applicable, windowed_attention_headpacked)
+    B, h, w, E = q_img.shape
+    if headpacked_applicable(h, w, E, num_heads, k):
+        return windowed_attention_headpacked(q_img, k_img, v_img,
+                                             num_heads, k)
     from lft_tpu.kernels.local_attn_vjp import windowed_attention
     return windowed_attention(q_img, k_img, v_img, num_heads, k)
 

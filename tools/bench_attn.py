@@ -85,6 +85,15 @@ def main():
                qn, v)
     except ImportError:
         pass
+    try:
+        from lft_tpu.kernels.spa_attn import local_attention_tile_mxu
+        from lft_tpu.kernels.spa_attn_hp import windowed_attention_headpacked
+        timeit("spa head-packed pallas (new2)",
+               lambda a, b: local_attention_tile_mxu(
+                   a, b, ipw, opw, heads, 5,
+                   attention=windowed_attention_headpacked), qn, v)
+    except ImportError:
+        pass
 
     # angular: [rows, A2, C] tokens (one eval chunk = 16*32*32 = 16384 rows)
     A2, C = 25, 64
