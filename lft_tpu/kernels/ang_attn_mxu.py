@@ -87,8 +87,11 @@ def _fwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref,
             q_g, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)               # [rows, H*BLK]
         s = s * scale + mask_ref[:, :]
+        # per-head softmax over aligned 128-wide lane slices. (A
+        # "vectorized" [rows, H, BLK] reshape variant lowers to a
+        # pathological Mosaic relayout -- compile explodes.)
         a_blocks, ms, ls = [], [], []
-        for h in range(num_heads):            # lane-tile-aligned 128 slices
+        for h in range(num_heads):
             blk = s[:, h * BLK:(h + 1) * BLK]
             m = jnp.max(blk, axis=-1, keepdims=True)          # [rows, 1]
             e = jnp.exp(blk - m)

@@ -109,8 +109,11 @@ def _fwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref, o_ref, *,
                     preferred_element_type=jnp.float32)   # [nq, H*KB] MXU
                 s = s * scale
                 mask = mask_ref[t_idx]                    # [nq, KB] f32
+                # per-head softmax over aligned 256-wide lane slices. (A
+                # "vectorized" [nq, H, KB] reshape variant lowers to a
+                # pathological Mosaic relayout -- compile never finishes.)
                 a_blocks = []
-                for hd in range(num_heads):               # aligned 256 slices
+                for hd in range(num_heads):
                     blk = s[:, hd * KB:(hd + 1) * KB] + mask
                     m = jnp.max(blk, axis=-1, keepdims=True)
                     e = jnp.exp(blk - m)
