@@ -197,6 +197,27 @@ def test_bucketed_eval_matches_exact():
     assert len(exact._cache) == 2
 
 
+def test_evaluate_dataset_prefetch_parity(tmp_path):
+    """Double-buffered scene prefetch (background-thread load + H2D,
+    inference/tiled.py) must not change evaluation results or order."""
+    from lft_tpu.inference.tiled import evaluate_dataset
+    paths = make_synth_data(str(tmp_path), ang_res=5, scale=2, n_train=0,
+                            n_test=3, test_hw=16, seed=5)
+    args = Args(angRes=5, scale_factor=2, channels=8, eval_batch=4,
+                patch_size_for_test=8, stride_for_test=4,
+                path_for_test=paths["path_for_test"],
+                data_name=paths["data_name"])
+    _, sets, _ = multi_test_sets(args)
+    model = get_model(args)
+    params = model.init(jax.random.PRNGKey(0), args)
+    p1, s1, rows1 = evaluate_dataset(model.apply, params, args, sets[0],
+                                     prefetch=True)
+    p2, s2, rows2 = evaluate_dataset(model.apply, params, args, sets[0],
+                                     prefetch=False)
+    assert rows1 == rows2
+    assert (p1, s1) == (p2, s2)
+
+
 @pytest.mark.slow
 def test_sharded_eval_matches_unsharded():
     """Patch-grid-sharded tiled inference over an 8-virtual-device mesh must

@@ -111,6 +111,33 @@ def main():
         b, p, "altblock.0.ang_trans.", ang_pe))
     timeit(f"ang_trans, batch {eb}", ang, p_cast, buf)
 
+    # upsampler path alone (1x1 conv C->C*S^2, pixel-shuffle, leaky,
+    # mosaic 3x3 conv -- the big HR-domain intermediates)
+    from lft_tpu.ops.unfold import conv2d_nhwc
+    mos = jnp.asarray(np.random.RandomState(4)
+                      .rand(eb, A * patch, A * patch, C), compute_dtype)
+    def upsample(p, m):
+        m = m @ p["upsampling.0.weight"][:, :, 0, 0].T
+        m = lft_mod._pixel_shuffle(m, S)
+        m = lft_mod._leaky(m)
+        return conv2d_nhwc(m, p["upsampling.3.weight"], padding="SAME")
+    timeit(f"upsampler, batch {eb}", jax.jit(upsample), p_cast, mos)
+
+    # tiling alone: divide + integrate round trip at scene scale
+    from lft_tpu.ops.tiling import lf_divide, lf_integrate
+    patch_t, stride_t = args.patch_size_for_test, args.stride_for_test
+    def tile_roundtrip(scn):
+        sub = lf_divide(scn, A, patch_t, stride_t)
+        nU, nV = sub.shape[0], sub.shape[1]
+        fake_sr = jnp.broadcast_to(
+            sub[..., None, :, :], sub.shape).reshape(
+            nU, nV, A * patch_t, A * patch_t)
+        fake_sr = jnp.tile(fake_sr, (1, 1, S, S))[:, :, :A * patch_t * S,
+                                                  :A * patch_t * S]
+        return lf_integrate(fake_sr, A, patch_t * S, stride_t * S,
+                            h0 * S, w0 * S)
+    timeit("lf_divide+integrate only", jax.jit(tile_roundtrip), scene)
+
     # conv stack
     def conv_stack(p, x):
         x0 = lft_mod._conv3d_133(x, p["conv_init0.0.weight"])
