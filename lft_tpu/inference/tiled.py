@@ -136,6 +136,14 @@ class ScenePipelineCache:
         need = patch - bdr
         if not self.bucket:
             return self._pipeline(h0, w0)(params, lr_mosaic)
+        if (patch - stride) % 2:
+            # the base tiling itself truncates one output row/col per view
+            # for odd patch-stride (reference utils/utils.py:141-157 has the
+            # same asymmetry); the bucketed unpack reshape would then fail
+            # with an opaque shape error -- reject the config explicitly
+            raise ValueError(
+                f"bucketed eval requires even patch_size_for_test - "
+                f"stride_for_test, got {patch} - {stride}")
         h0b = _bucketed_size(h0, need, self.bucket)
         w0b = _bucketed_size(w0, need, self.bucket)
         views = lr_mosaic.reshape(A, h0, A, w0).transpose(0, 2, 1, 3)

@@ -42,21 +42,27 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 128  # per-head key-column block (lane-tile aligned)
 
 
+def head_channel_masks(num_heads: int, C: int) -> np.ndarray:
+    """HM [H, C]: row h is 1 on head h's dh-channel slice, 0 elsewhere.
+    Shared by every head-packed kernel (here and spa_attn_hp.py)."""
+    dh = C // num_heads
+    HM = np.zeros((num_heads, C), np.float32)
+    for h in range(num_heads):
+        HM[h, h * dh:(h + 1) * dh] = 1.0
+    return HM
+
+
 @functools.lru_cache(maxsize=None)
 def _consts(A2: int, C: int, num_heads: int, G: int):
     """Static (mask [G*A2, H*BLK], head channel masks HM [H, C])."""
     rows = G * A2
-    dh = C // num_heads
     r_pix = np.arange(rows) // A2                       # row -> pixel
     c_blk = np.arange(BLK)
     c_pix = np.where(c_blk < rows, c_blk // A2, -1)     # pad cols -> -1
     ok = (r_pix[:, None] == c_pix[None, :])             # [rows, BLK]
     mask_one = np.where(ok, 0.0, -1e30).astype(np.float32)
     mask = np.tile(mask_one, (1, num_heads))            # same per head block
-    HM = np.zeros((num_heads, C), np.float32)
-    for h in range(num_heads):
-        HM[h, h * dh:(h + 1) * dh] = 1.0
-    return mask, HM
+    return mask, head_channel_masks(num_heads, C)
 
 
 def _replicate(x, hm_ref, num_heads, rows):
@@ -188,8 +194,22 @@ def _fwd(q, k, v, num_heads, with_stats):
     n_groups = qg.shape[0]
     grp, full, stath = _specs(rows, C, num_heads)
     interpret = jax.devices()[0].platform != "tpu"
+    if not with_stats:
+        # inference primal: no m/l outputs at all (declaring them would
+        # stream two unused f32 [n_groups, rows, H] buffers to HBM per call)
+        def kernel_nostats(mask_r, hm_r, q_r, k_r, v_r, o_r):
+            _fwd_kernel(mask_r, hm_r, q_r, k_r, v_r, o_r, None, None,
+                        num_heads=num_heads, with_stats=False)
+        out = pl.pallas_call(
+            kernel_nostats, interpret=interpret, grid=(n_groups // GPS,),
+            in_specs=[full(rows, num_heads * BLK), full(num_heads, C),
+                      grp, grp, grp],
+            out_specs=grp,
+            out_shape=jax.ShapeDtypeStruct((n_groups, rows, C), q.dtype),
+        )(mask, hm, qg, kg, vg)
+        return out.reshape(-1, A2, C)[:N], None, None
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
-                               with_stats=with_stats)
+                               with_stats=True)
     out, m, l = pl.pallas_call(
         kernel, interpret=interpret, grid=(n_groups // GPS,),
         in_specs=[full(rows, num_heads * BLK), full(num_heads, C),

@@ -46,28 +46,18 @@ KB = 256  # per-head key-column block (2 lane tiles; nk <= KB required)
 def _np_consts(th: int, tw: int, r: int, h: int, w: int, num_heads: int,
                C: int):
     """(mask [n_tiles, th*tw, KB] -- head-independent, added per head
-    block inside the kernel; head channel masks [H, C])."""
-    hl_h, hl_w = th + 2 * r, tw + 2 * r
-    nq, nk = th * tw, hl_h * hl_w
+    block inside the kernel; head channel masks [H, C]). The window+
+    bounds mask is spa_attn's tile mask with the key axis padded (pad
+    columns masked out); the head masks are the shared builder."""
+    from lft_tpu.kernels.ang_attn_mxu import head_channel_masks
+    from lft_tpu.kernels.spa_attn import _np_tile_mask
+    base = _np_tile_mask(th, tw, r, h, w)       # [n_tiles, nq, nk]
+    nk = base.shape[-1]
     assert nk <= KB, (nk, KB)
-    qi = np.arange(nq)[:, None]
-    ki = np.arange(KB)[None, :]
-    q_y, q_x = qi // tw, qi % tw
-    k_y, k_x = ki // hl_w - r, ki % hl_w - r
-    in_win = ((np.abs(q_y - k_y) <= r) & (np.abs(q_x - k_x) <= r)
-              & (ki < nk))
-    tiles = []
-    for ti in range(h // th):
-        for tj in range(w // tw):
-            in_img = ((ti * th + k_y >= 0) & (ti * th + k_y < h)
-                      & (tj * tw + k_x >= 0) & (tj * tw + k_x < w))
-            tiles.append(np.where(in_win & in_img, 0.0, -1e30)
-                         .astype(np.float32))
-    dh = C // num_heads
-    HM = np.zeros((num_heads, C), np.float32)
-    for hd in range(num_heads):
-        HM[hd, hd * dh:(hd + 1) * dh] = 1.0
-    return np.asarray(tiles), HM
+    mask = np.full((base.shape[0], base.shape[1], KB), -1e30,
+                   dtype=np.float32)
+    mask[:, :, :nk] = base
+    return mask, head_channel_masks(num_heads, C)
 
 
 def _replicate(x_nk, hm_ref, num_heads):

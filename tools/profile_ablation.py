@@ -84,7 +84,9 @@ def main():
                     .rand(eb, 1, A * patch, A * patch).astype(np.float32))
     fwd = jax.jit(lambda p, x: model.apply(p, x, args))
     per_chunk = timeit(f"model forward, batch {eb}", fwd, params, x)
-    n_patches = ((h0 - patch) // args.stride_for_test + 1) ** 2
+    from lft_tpu.ops.tiling import tiling_grid
+    _g = tiling_grid(h0, w0, patch, args.stride_for_test)
+    n_patches = _g["numU"] * _g["numV"]
     print(f"  -> {n_patches} patches => forward-only scene time "
           f"{per_chunk * n_patches / eb * 1e3:.1f} ms "
           f"(pipeline measured {full * 1e3:.1f} ms)")
@@ -128,12 +130,7 @@ def main():
     patch_t, stride_t = args.patch_size_for_test, args.stride_for_test
     def tile_roundtrip(scn):
         sub = lf_divide(scn, A, patch_t, stride_t)
-        nU, nV = sub.shape[0], sub.shape[1]
-        fake_sr = jnp.broadcast_to(
-            sub[..., None, :, :], sub.shape).reshape(
-            nU, nV, A * patch_t, A * patch_t)
-        fake_sr = jnp.tile(fake_sr, (1, 1, S, S))[:, :, :A * patch_t * S,
-                                                  :A * patch_t * S]
+        fake_sr = jnp.tile(sub, (1, 1, S, S))      # stand-in for model output
         return lf_integrate(fake_sr, A, patch_t * S, stride_t * S,
                             h0 * S, w0 * S)
     timeit("lf_divide+integrate only", jax.jit(tile_roundtrip), scene)
