@@ -35,6 +35,22 @@ import time
 import numpy as np
 
 
+def _probe_device(timeout_s: int = 180) -> bool:
+    """Backend init talks to the tunneled TPU and can hang forever when the
+    tunnel is unhealthy; probe it in a bounded subprocess so a dead tunnel
+    yields a fast, clear failure instead of a hung bench."""
+    import subprocess
+    import sys
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True)
+        return p.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer reps")
@@ -52,6 +68,13 @@ def main():
     ap.add_argument("--train_scale", type=int, default=2)
     ap.add_argument("--train_patch", type=int, default=32, help="LR patch")
     ns = ap.parse_args()
+
+    if not _probe_device():
+        import sys
+        print("bench.py: device backend did not initialize within the probe "
+              "timeout (TPU tunnel unhealthy?) -- refusing to hang",
+              file=sys.stderr)
+        sys.exit(2)
 
     import jax
     import jax.numpy as jnp
