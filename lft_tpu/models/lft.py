@@ -293,11 +293,25 @@ def _forward_body(params, lr, args, impl, compute_dtype):
     m = m.reshape(B, A * h, A * w, C)
 
     # upsampling head (reference model/LFT.py:39-44, 80): 1x1 conv -> pixel
-    # shuffle -> LeakyReLU -> mosaic-level 3x3 conv (crosses view borders)
-    m = m @ p["upsampling.0.weight"][:, :, 0, 0].T                    # 1x1 conv
-    m = _pixel_shuffle(m, S)
+    # shuffle -> LeakyReLU -> mosaic-level 3x3 conv (crosses view borders).
+    # TPU formulation: the 1x1 conv + pixel shuffle are one non-overlapping
+    # stride-S transposed conv (kernel [S, S, Cin, C] with both spatial axes
+    # flipped -- exactly pixel-shuffle's subpixel layout, verified bit-exact)
+    # -- XLA lowers this far better than the 6-d shuffle transpose; and the
+    # 3x3 conv to ONE output channel (which starves the MXU) becomes a
+    # 9-tap channel contraction plus shifted adds.
+    w_up = p["upsampling.0.weight"][:, :, 0, 0]                       # [C*S^2, C]
+    w_t = w_up.reshape(C, S, S, C).transpose(1, 2, 3, 0)[::-1, ::-1]
+    m = jax.lax.conv_transpose(m, w_t, strides=(S, S), padding="VALID",
+                               dimension_numbers=("NHWC", "HWIO", "NHWC"))
     m = _leaky(m)
-    m = conv2d_nhwc(m, p["upsampling.3.weight"], padding="SAME")      # [B, HS, WS, 1]
+    w3 = p["upsampling.3.weight"]                                     # [1, C, 3, 3]
+    w9 = w3[0].transpose(1, 2, 0).reshape(9, C)                       # tap-major
+    z = jnp.einsum("bhwc,tc->bhwt", m, w9)
+    zp = jnp.pad(z, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    Hs, Ws = m.shape[1], m.shape[2]
+    m = sum(zp[:, dy:dy + Hs, dx:dx + Ws, dy * 3 + dx]
+            for dy in range(3) for dx in range(3))[..., None]         # [B, HS, WS, 1]
 
     out = m[..., 0].astype(jnp.float32) + lr_up[:, 0]
     return out[:, None]                                               # NCHW
