@@ -289,9 +289,10 @@ def windowed_attention_hybrid(q_img, k_img, v_img, num_heads: int, k: int):
       (spa_attn_hp.py, 7.4 ms/op at the production chunk shape) when its
       halo fits; else the offset-sweep kernel (local_attn_vjp.py,
       10.7 ms/op);
-    * VJP fwd + bwd (training): this module's tile-dense MXU kernels --
-      233 vs 374 ms/step on the flagship train step, and no VMEM-OOM
-      shapes in the backward.
+    * VJP fwd + bwd (training): the head-packed fwd/bwd kernels
+      (spa_attn_hp.py, full-depth MXU contractions) when applicable,
+      else this module's tile-dense MXU kernels. Both avoid the offset
+      backward's VMEM-OOM shapes.
 
     Caller must ensure BOTH gates hold: h*w small enough for the offset
     kernel's VMEM budget and `pick_tile(h, w)` valid."""
@@ -305,7 +306,25 @@ def windowed_attention_hybrid(q_img, k_img, v_img, num_heads: int, k: int):
     return windowed_attention(q_img, k_img, v_img, num_heads, k)
 
 
-windowed_attention_hybrid.defvjp(_vjp_fwd, _vjp_bwd)
+def _hybrid_vjp_fwd(q_img, k_img, v_img, num_heads, k):
+    from lft_tpu.kernels import spa_attn_hp as hp
+    B, h, w, E = q_img.shape
+    if hp.headpacked_applicable(h, w, E, num_heads, k):
+        return hp._vjp_fwd(q_img, k_img, v_img, num_heads, k)
+    return _vjp_fwd(q_img, k_img, v_img, num_heads, k)
+
+
+def _hybrid_vjp_bwd(num_heads, k, res, dout):
+    # both residual formats are (q, k, v, m, l); re-derive which kernel
+    # produced them from the (static) q shape -- same predicate as fwd
+    from lft_tpu.kernels import spa_attn_hp as hp
+    B, h, w, E = res[0].shape
+    if hp.headpacked_applicable(h, w, E, num_heads, k):
+        return hp._vjp_bwd(num_heads, k, res, dout)
+    return _vjp_bwd(num_heads, k, res, dout)
+
+
+windowed_attention_hybrid.defvjp(_hybrid_vjp_fwd, _hybrid_vjp_bwd)
 
 
 def local_attention_tile_mxu(qn, v, in_proj_weight, out_proj_weight,

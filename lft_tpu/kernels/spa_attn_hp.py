@@ -73,9 +73,12 @@ def _replicate(x_nk, hm_ref, num_heads):
 
 
 def _fwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref, o_ref, *,
-                h, w, th, tw, r, num_heads):
-    """One grid step = one view image. q_ref [1, h, w, E]; k_ref/v_ref
-    [1, h+2r, w+2r, E] zero-padded; mask_ref [n_tiles, nq, H*KB]."""
+                h, w, th, tw, r, num_heads, with_stats=False,
+                m_ref=None, l_ref=None):
+    """One grid step = `V` view images. q_ref [V, h, w, E]; k_ref/v_ref
+    [V, h+2r, w+2r, E] zero-padded; mask_ref [n_tiles, nq, KB]. With
+    `with_stats`, also writes the per-(tile, query, head) softmax max and
+    denominator [V, n_tiles, nq, H] for the custom-VJP backward."""
     E = q_ref.shape[-1]
     hl_h, hl_w = th + 2 * r, tw + 2 * r
     nq, nk = th * tw, hl_h * hl_w
@@ -102,12 +105,16 @@ def _fwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref, o_ref, *,
                 # per-head softmax over aligned 256-wide lane slices. (A
                 # "vectorized" [nq, H, KB] reshape variant lowers to a
                 # pathological Mosaic relayout -- compile never finishes.)
-                a_blocks = []
+                a_blocks, ms, ls = [], [], []
                 for hd in range(num_heads):
                     blk = s[:, hd * KB:(hd + 1) * KB] + mask
                     m = jnp.max(blk, axis=-1, keepdims=True)
                     e = jnp.exp(blk - m)
-                    a_blocks.append(e / jnp.sum(e, axis=-1, keepdims=True))
+                    l = jnp.sum(e, axis=-1, keepdims=True)
+                    a_blocks.append(e / l)
+                    if with_stats:
+                        ms.append(m)
+                        ls.append(l)
                 a = jnp.concatenate(a_blocks, axis=-1).astype(v_rep.dtype)
                 o_t = jax.lax.dot_general(
                     a, v_rep, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -115,50 +122,217 @@ def _fwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref, o_ref, *,
                 o_ref[vi, ti * th:(ti + 1) * th,
                       tj * tw:(tj + 1) * tw, :] = (
                     o_t.reshape(th, tw, E).astype(o_ref.dtype))
+                if with_stats:
+                    m_ref[vi, t_idx] = jnp.concatenate(ms, axis=-1)
+                    l_ref[vi, t_idx] = jnp.concatenate(ls, axis=-1)
 
 
-def windowed_attention_headpacked(q_img, k_img, v_img, num_heads: int,
-                                  k: int, views_per_step: int = 4):
-    """Forward-only head-packed windowed attention on [B, h, w, E]
-    projected q/k/v (window k x k). Requires a valid `pick_tile(h, w)`
-    whose halo fits KB rows and E % num_heads == 0. `views_per_step`
-    views are processed per grid step to amortize per-step DMA setup
-    (B is padded to a multiple; pad views are dropped on return)."""
-    B, h, w, E = q_img.shape
+def _bwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref, do_ref, m_ref, l_ref,
+                dq_ref, dk_ref, dv_ref, *, h, w, th, tw, r, num_heads):
+    """Head-packed dense-attention backward, same tile structure: every
+    matmul is a full-depth MXU contraction (standard identities; dk/dv
+    de-replicated via the head masks and accumulated into PADDED
+    [V, h+2r, w+2r, E] buffers -- tiles run sequentially, so the
+    read-modify-write is safe)."""
+    E = q_ref.shape[-1]
+    hl_h, hl_w = th + 2 * r, tw + 2 * r
+    nq, nk = th * tw, hl_h * hl_w
+    scale = jnp.float32(float(E // num_heads) ** -0.5)
+
+    for vi in range(q_ref.shape[0]):
+        dk_ref[vi] = jnp.zeros_like(dk_ref[vi])
+        dv_ref[vi] = jnp.zeros_like(dv_ref[vi])
+        for ti in range(h // th):
+            for tj in range(w // tw):
+                ysl = slice(ti * th, ti * th + hl_h)
+                xsl = slice(tj * tw, tj * tw + hl_w)
+                q_t = q_ref[vi, ti * th:(ti + 1) * th,
+                            tj * tw:(tj + 1) * tw, :].reshape(nq, E)
+                do_t = do_ref[vi, ti * th:(ti + 1) * th,
+                              tj * tw:(tj + 1) * tw, :].reshape(nq, E)
+                k_rep = _replicate(k_ref[vi, ysl, xsl, :].reshape(nk, E),
+                                   hm_ref, num_heads)
+                v_rep = _replicate(v_ref[vi, ysl, xsl, :].reshape(nk, E),
+                                   hm_ref, num_heads)
+                t_idx = ti * (w // tw) + tj
+                mask = mask_ref[t_idx]                    # [nq, KB]
+                m_t = m_ref[vi, t_idx]                    # [nq, H]
+                l_t = l_ref[vi, t_idx]
+                s = jax.lax.dot_general(
+                    q_t, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dov = jax.lax.dot_general(
+                    do_t, v_rep, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [nq, H*KB]
+                a_blocks, ds_blocks = [], []
+                for hd in range(num_heads):
+                    blk = s[:, hd * KB:(hd + 1) * KB] + mask
+                    a_h = (jnp.exp(blk - m_t[:, hd:hd + 1])
+                           / l_t[:, hd:hd + 1])
+                    dov_h = dov[:, hd * KB:(hd + 1) * KB]
+                    D_h = jnp.sum(a_h * dov_h, axis=-1, keepdims=True)
+                    ds_blocks.append(a_h * (dov_h - D_h) * scale)
+                    a_blocks.append(a_h)
+                ds = jnp.concatenate(ds_blocks, axis=-1).astype(q_t.dtype)
+                a = jnp.concatenate(a_blocks, axis=-1).astype(q_t.dtype)
+                dq_t = jax.lax.dot_general(
+                    ds, k_rep, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [nq, E]
+                dq_ref[vi, ti * th:(ti + 1) * th,
+                       tj * tw:(tj + 1) * tw, :] = (
+                    dq_t.reshape(th, tw, E).astype(dq_ref.dtype))
+                dk_rep = jax.lax.dot_general(
+                    ds, q_t, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [H*KB, E]
+                dv_rep = jax.lax.dot_general(
+                    a, do_t, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dk_t = jnp.zeros((nk, E), jnp.float32)
+                dv_t = jnp.zeros((nk, E), jnp.float32)
+                for hd in range(num_heads):
+                    hmv = hm_ref[hd:hd + 1, :].astype(jnp.float32)
+                    dk_t = dk_t + dk_rep[hd * KB:hd * KB + nk] * hmv
+                    dv_t = dv_t + dv_rep[hd * KB:hd * KB + nk] * hmv
+                dk_ref[vi, ysl, xsl, :] = (dk_ref[vi, ysl, xsl, :]
+                                           + dk_t.reshape(hl_h, hl_w, E))
+                dv_ref[vi, ysl, xsl, :] = (dv_ref[vi, ysl, xsl, :]
+                                           + dv_t.reshape(hl_h, hl_w, E))
+
+
+def _geom(h, w, E, k, B, V):
     r = k // 2
     th, tw = pick_tile(h, w)
     n_tiles = (h // th) * (w // tw)
     nq = th * tw
-    V = views_per_step
     pad_b = (-B) % V
-    if pad_b:
-        zb = [(0, pad_b), (0, 0), (0, 0), (0, 0)]
-        q_img = jnp.pad(q_img, zb)
-        k_img = jnp.pad(k_img, zb)
-        v_img = jnp.pad(v_img, zb)
-    mask, hm = (jnp.asarray(c) for c in
-                _np_consts(th, tw, r, h, w, num_heads, E))
-    hm = hm.astype(q_img.dtype)
-    kp = jnp.pad(k_img, [(0, 0), (r, r), (r, r), (0, 0)])
-    vp = jnp.pad(v_img, [(0, 0), (r, r), (r, r), (0, 0)])
     img = pl.BlockSpec((V, h, w, E), lambda i: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     pad = pl.BlockSpec((V, h + 2 * r, w + 2 * r, E), lambda i: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((n_tiles, nq, KB), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
+    return r, th, tw, n_tiles, nq, pad_b, img, pad, mspec
+
+
+def _pad_views(x, pad_b, r=0):
+    if pad_b:
+        x = jnp.pad(x, [(0, pad_b), (0, 0), (0, 0), (0, 0)])
+    if r:
+        x = jnp.pad(x, [(0, 0), (r, r), (r, r), (0, 0)])
+    return x
+
+
+def _fwd(q_img, k_img, v_img, num_heads, k, with_stats,
+         views_per_step=None):
+    B, h, w, E = q_img.shape
+    # stats mode carries two extra f32 stat blocks per step: halve the
+    # views-per-step so the scoped-VMEM stack stays under the 16 MB limit
+    V = views_per_step or (2 if with_stats else 4)
+    r, th, tw, n_tiles, nq, pad_b, img, pad, mspec = _geom(h, w, E, k, B, V)
+    mask, hm = (jnp.asarray(c) for c in
+                _np_consts(th, tw, r, h, w, num_heads, E))
+    hm = hm.astype(q_img.dtype)
+    q_p = _pad_views(q_img, pad_b)
+    kp = _pad_views(k_img, pad_b, r)
+    vp = _pad_views(v_img, pad_b, r)
     hspec = pl.BlockSpec((num_heads, E), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_fwd_kernel, h=h, w=w, th=th, tw=tw, r=r,
-                               num_heads=num_heads)
     interpret = jax.devices()[0].platform != "tpu"
-    out = pl.pallas_call(
-        kernel, interpret=interpret, grid=((B + pad_b) // V,),
+    Bp = B + pad_b
+    if not with_stats:
+        kernel = functools.partial(_fwd_kernel, h=h, w=w, th=th, tw=tw, r=r,
+                                   num_heads=num_heads, with_stats=False)
+        out = pl.pallas_call(
+            kernel, interpret=interpret, grid=(Bp // V,),
+            in_specs=[mspec, hspec, img, pad, pad],
+            out_specs=img,
+            out_shape=jax.ShapeDtypeStruct((Bp, h, w, E), q_img.dtype),
+        )(mask, hm, q_p, kp, vp)
+        return out[:B], None, None
+    stat = pl.BlockSpec((V, n_tiles, nq, num_heads),
+                        lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    def kernel_stats(mm, hh, q, kk, vv, o, m, l):
+        _fwd_kernel(mm, hh, q, kk, vv, o, h=h, w=w, th=th, tw=tw, r=r,
+                    num_heads=num_heads, with_stats=True,
+                    m_ref=m, l_ref=l)
+    out, m, l = pl.pallas_call(
+        kernel_stats, interpret=interpret, grid=(Bp // V,),
         in_specs=[mspec, hspec, img, pad, pad],
-        out_specs=img,
-        out_shape=jax.ShapeDtypeStruct((B + pad_b, h, w, E), q_img.dtype),
-    )(mask, hm, q_img, kp, vp)
-    return out[:B]
+        out_specs=(img, stat, stat),
+        out_shape=(jax.ShapeDtypeStruct((Bp, h, w, E), q_img.dtype),
+                   jax.ShapeDtypeStruct((Bp, n_tiles, nq, num_heads),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((Bp, n_tiles, nq, num_heads),
+                                        jnp.float32)),
+    )(mask, hm, q_p, kp, vp)
+    return out[:B], m[:B], l[:B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def windowed_attention_headpacked(q_img, k_img, v_img, num_heads: int,
+                                  k: int):
+    """Differentiable head-packed windowed attention on [B, h, w, E]
+    projected q/k/v (window k x k). Requires a valid `pick_tile(h, w)`
+    whose halo fits KB rows and E % num_heads == 0 (see
+    `headpacked_applicable`). Four views are processed per grid step to
+    amortize per-step DMA setup (B is padded to a multiple; pad views
+    are dropped on return)."""
+    out, _, _ = _fwd(q_img, k_img, v_img, num_heads, k, with_stats=False)
+    return out
+
+
+def _vjp_fwd(q_img, k_img, v_img, num_heads, k):
+    out, m, l = _fwd(q_img, k_img, v_img, num_heads, k, with_stats=True)
+    return out, (q_img, k_img, v_img, m, l)
+
+
+def _vjp_bwd(num_heads, k, res, dout):
+    q_img, k_img, v_img, m, l = res
+    B, h, w, E = q_img.shape
+    V = 1  # backward holds f32 dk/dv accumulators + full-width scratch per
+           # tile; V=2 overflows the 16 MB scoped-VMEM stack by ~1 MB
+    r, th, tw, n_tiles, nq, pad_b, img, pad, mspec = _geom(h, w, E, k, B, V)
+    mask, hm = (jnp.asarray(c) for c in
+                _np_consts(th, tw, r, h, w, num_heads, E))
+    io_dtype = (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
+                else q_img.dtype)
+    hm = hm.astype(io_dtype)
+    q_p = _pad_views(q_img.astype(io_dtype), pad_b)
+    kp = _pad_views(k_img.astype(io_dtype), pad_b, r)
+    vp = _pad_views(v_img.astype(io_dtype), pad_b, r)
+    do_p = _pad_views(dout.astype(io_dtype), pad_b)
+    spad = [(0, pad_b), (0, 0), (0, 0), (0, 0)]
+    m_p = jnp.pad(m, spad) if pad_b else m
+    l_p = jnp.pad(l, spad) if pad_b else l
+    # pad-view softmax stats are zero -> exp(blk - 0)/0 would blow up; use
+    # denominator 1 on pad views (their grads are dropped anyway)
+    if pad_b:
+        l_p = l_p.at[B:].set(1.0)
+    hspec = pl.BlockSpec((num_heads, E), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    stat = pl.BlockSpec((V, n_tiles, nq, num_heads),
+                        lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    interpret = jax.devices()[0].platform != "tpu"
+    Bp = B + pad_b
+    kernel = functools.partial(_bwd_kernel, h=h, w=w, th=th, tw=tw, r=r,
+                               num_heads=num_heads)
+    dq, dk_pad, dv_pad = pl.pallas_call(
+        kernel, interpret=interpret, grid=(Bp // V,),
+        in_specs=[mspec, hspec, img, pad, pad, img, stat, stat],
+        out_specs=(img, pad, pad),
+        out_shape=(jax.ShapeDtypeStruct((Bp, h, w, E), q_img.dtype),
+                   jax.ShapeDtypeStruct((Bp, h + 2 * r, w + 2 * r, E),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((Bp, h + 2 * r, w + 2 * r, E),
+                                        jnp.float32)),
+    )(mask, hm, q_p, kp, vp, do_p, m_p, l_p)
+    dk = dk_pad[:B, r:r + h, r:r + w, :].astype(k_img.dtype)
+    dv = dv_pad[:B, r:r + h, r:r + w, :].astype(v_img.dtype)
+    return dq[:B], dk, dv
+
+
+windowed_attention_headpacked.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def headpacked_applicable(h: int, w: int, E: int, num_heads: int,
