@@ -159,6 +159,28 @@ def test_spa_hybrid_forward_and_grad():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5, name
 
 
+@pytest.mark.slow
+def test_spa_headpacked_grad_production_shape():
+    """Head-packed fwd/bwd (spa_attn_hp.py) at the production geometry
+    (32x32 tokens, E=128): value and grads vs the XLA tiled path."""
+    from lft_tpu.kernels.spa_attn import (
+        local_attention_tile_mxu, windowed_attention_hybrid)
+    B, h, w, E, H = 1, 32, 32, 128, 8
+    qn = _rand((B, h, w, E), 60)
+    v = _rand((B, h, w, E), 61)
+    wi = _rand((3 * E, E), 62, 0.1)
+    wo = _rand((E, E), 63, 0.1)
+    hyb = lambda *a: local_attention_tile_mxu(
+        *a, H, k=5, attention=windowed_attention_hybrid)
+    f_ref = lambda *a: jnp.sum(jnp.sin(A.local_attention(*a, H, k=5, impl="tiled")))
+    f_ker = lambda *a: jnp.sum(jnp.sin(hyb(*a)))
+    g1 = jax.grad(f_ref, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    g2 = jax.grad(f_ker, argnums=(0, 1, 2, 3))(qn, v, wi, wo)
+    for name, a, b in zip(["dqn", "dv", "dwi", "dwo"], g1, g2):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5, name
+
+
 def test_ang_mxu_forward_odd_rows():
     """Block-diag MXU angular kernel, odd pixel count (pair-packing off) and
     non-multiple-of-G row padding."""
