@@ -19,9 +19,15 @@ from lft_tpu.kernels.ang_attn_mxu import ang_attention_mxu  # noqa: F401
 
 def ang_attention_pallas(qn, v, in_proj_weight, out_proj_weight,
                          num_heads):
-    """Default fused angular attention. Env `LFT_ANG_VARIANT=sweep`
-    selects the key-sweep kernel (perf A/B without code edits)."""
-    if os.environ.get("LFT_ANG_VARIANT", "mxu") == "sweep":
+    """Default fused angular attention: the block-diag MXU kernel when the
+    view count fits its 128-key block (every production angRes does; a
+    hypothetical angRes >= 12 has A2 > 128), else the key-sweep kernel,
+    which supports any A2. Env `LFT_ANG_VARIANT=sweep` forces the sweep
+    kernel (perf A/B without code edits)."""
+    from lft_tpu.kernels.ang_attn_mxu import mxu_applicable
+    A2 = qn.shape[-2]
+    if (os.environ.get("LFT_ANG_VARIANT", "mxu") == "sweep"
+            or not mxu_applicable(A2)):
         return ang_attention_pallas_ad(qn, v, in_proj_weight,
                                        out_proj_weight, num_heads)
     return ang_attention_mxu(qn, v, in_proj_weight, out_proj_weight,

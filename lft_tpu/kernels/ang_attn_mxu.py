@@ -271,36 +271,18 @@ def _vjp_bwd(num_heads, res, dout):
 ang_attention_blockdiag.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def _pack_pairs(x, A2, C):
-    """[N, A2, C] -> [N/2, A2, 2C]: two pixels' tokens side by side.
-    Exact: per-head attention is independent and heads stay blocked."""
-    N = x.shape[0]
-    return x.reshape(N // 2, 2, A2, C).transpose(0, 2, 1, 3) \
-            .reshape(N // 2, A2, 2 * C)
-
-
-def _unpack_pairs(x, A2, C):
-    N2 = x.shape[0]
-    return x.reshape(N2, A2, 2, C).transpose(0, 2, 1, 3) \
-            .reshape(N2 * 2, A2, C)
+def mxu_applicable(A2: int) -> bool:
+    """The block-diag formulation needs one group's rows (G*A2, G >= 1) to
+    fit the BLK=128 key block; A2 > BLK has no valid packing."""
+    return A2 <= BLK
 
 
 def ang_attention_mxu(qn, v, in_proj_weight, out_proj_weight,
                       num_heads: int):
     """Differentiable drop-in for the AngTrans MHSA (q = k = qn normed,
-    v raw; torch-packed projections) on [..., A2, C] tokens."""
-    *lead, A2, C = qn.shape
-    wq, wk, wv = jnp.split(in_proj_weight, 3, axis=0)
-    q_p = (qn @ wq.T).reshape(-1, A2, C)
-    k_p = (qn @ wk.T).reshape(-1, A2, C)
-    v_p = (v @ wv.T).reshape(-1, A2, C)
-    N = q_p.shape[0]
-    pack = 2 if (2 * C <= 128 and N % 2 == 0) else 1
-    if pack == 2:
-        out = ang_attention_blockdiag(
-            _pack_pairs(q_p, A2, C), _pack_pairs(k_p, A2, C),
-            _pack_pairs(v_p, A2, C), 2 * num_heads)
-        out = _unpack_pairs(out, A2, C)
-    else:
-        out = ang_attention_blockdiag(q_p, k_p, v_p, num_heads)
-    return out.reshape(*lead, A2, C) @ out_proj_weight.T
+    v raw; torch-packed projections) on [..., A2, C] tokens. Requires
+    `mxu_applicable(A2)`; callers fall back to the key-sweep kernel
+    otherwise."""
+    from lft_tpu.kernels.ang_attn_vjp import projected_pair_packed
+    return projected_pair_packed(qn, v, in_proj_weight, out_proj_weight,
+                                 num_heads, ang_attention_blockdiag)

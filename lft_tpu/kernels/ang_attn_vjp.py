@@ -189,10 +189,13 @@ def _unpack_pairs(x, A2, C):
             .reshape(N2 * 2, A2, C)
 
 
-def ang_attention_pallas_ad(qn, v, in_proj_weight, out_proj_weight,
-                            num_heads: int):
-    """Differentiable drop-in for the AngTrans MHSA (q = k = qn normed,
-    v raw; torch-packed projections) on [..., A2, C] tokens."""
+def projected_pair_packed(qn, v, in_proj_weight, out_proj_weight,
+                          num_heads: int, attention):
+    """Shared AngTrans wrapper (q = k = qn normed, v raw; torch-packed
+    projections) on [..., A2, C] tokens: XLA GEMM projections, lane-filling
+    pixel-pair packing when 2C fits the 128 lanes, then `attention(q, k, v,
+    heads)` on [N, A2, C']. Used by both the key-sweep and block-diag MXU
+    kernels so the packing condition lives in exactly one place."""
     *lead, A2, C = qn.shape
     wq, wk, wv = jnp.split(in_proj_weight, 3, axis=0)
     q_p = (qn @ wq.T).reshape(-1, A2, C)
@@ -201,9 +204,17 @@ def ang_attention_pallas_ad(qn, v, in_proj_weight, out_proj_weight,
     N = q_p.shape[0]
     pack = 2 if (2 * C <= 128 and N % 2 == 0) else 1
     if pack == 2:
-        out = ang_attention(_pack_pairs(q_p, A2, C), _pack_pairs(k_p, A2, C),
-                            _pack_pairs(v_p, A2, C), 2 * num_heads)
+        out = attention(_pack_pairs(q_p, A2, C), _pack_pairs(k_p, A2, C),
+                        _pack_pairs(v_p, A2, C), 2 * num_heads)
         out = _unpack_pairs(out, A2, C)
     else:
-        out = ang_attention(q_p, k_p, v_p, num_heads)
+        out = attention(q_p, k_p, v_p, num_heads)
     return out.reshape(*lead, A2, C) @ out_proj_weight.T
+
+
+def ang_attention_pallas_ad(qn, v, in_proj_weight, out_proj_weight,
+                            num_heads: int):
+    """Differentiable drop-in for the AngTrans MHSA (q = k = qn normed,
+    v raw; torch-packed projections) on [..., A2, C] tokens."""
+    return projected_pair_packed(qn, v, in_proj_weight, out_proj_weight,
+                                 num_heads, ang_attention)

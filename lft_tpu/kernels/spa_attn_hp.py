@@ -302,11 +302,12 @@ def _vjp_bwd(num_heads, k, res, dout):
     kp = _pad_views(k_img.astype(io_dtype), pad_b, r)
     vp = _pad_views(v_img.astype(io_dtype), pad_b, r)
     do_p = _pad_views(dout.astype(io_dtype), pad_b)
+    # (statically dead at V=1 since pad_b == 0, but kept live-by-derivation:
+    # if V is ever raised, pad views need stats too -- denominator 1 avoids
+    # exp(x)/0 on them; their grads are dropped on return)
     spad = [(0, pad_b), (0, 0), (0, 0), (0, 0)]
     m_p = jnp.pad(m, spad) if pad_b else m
     l_p = jnp.pad(l, spad) if pad_b else l
-    # pad-view softmax stats are zero -> exp(blk - 0)/0 would blow up; use
-    # denominator 1 on pad views (their grads are dropped anyway)
     if pad_b:
         l_p = l_p.at[B:].set(1.0)
     hspec = pl.BlockSpec((num_heads, E), lambda i: (0, 0),

@@ -48,14 +48,14 @@ def _scene_tree(tmp_path, name, fmt, ang_res=7, hw=96, n_train=1, n_test=1):
     """datasets/<name>/{training,test}/*.mat layout the generators expect."""
     src = tmp_path / "datasets"
     lfs = {}
-    for split, n in (("training", n_train), ("test", n_test)):
+    for si, (split, n) in enumerate((("training", n_train), ("test", n_test))):
         d = src / name / split
         d.mkdir(parents=True)
         for i in range(n):
             p = str(d / f"scene_{i}.mat")
             lfs[(split, i)] = write_synth_scene_mat(
                 p, ang_res=ang_res, height=hw, width=hw + 4,
-                seed=10 * n_test + i, fmt=fmt)
+                seed=1000 * si + i, fmt=fmt)   # split-distinct scenes
     return str(src), lfs
 
 

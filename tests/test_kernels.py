@@ -196,6 +196,22 @@ def test_ang_mxu_forward_odd_rows():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_ang_dispatch_large_a2_falls_back():
+    """angRes >= 12 gives A2 > 128, beyond the block-diag MXU packing; the
+    default dispatcher must fall back to the key-sweep kernel (which
+    supports any A2) instead of crashing."""
+    from lft_tpu.kernels.ang_attn import ang_attention_pallas
+    B, P, T, C, H = 1, 4, 169, 32, 8   # A2 = 13^2
+    qn = _rand((B, P, T, C), 70)
+    v = _rand((B, P, T, C), 71)
+    wi = _rand((3 * C, C), 72, 0.2)
+    wo = _rand((C, C), 73, 0.2)
+    ref = A.multi_head_attention(qn, qn, v, wi, wo, H)
+    out = ang_attention_pallas(qn, v, wi, wo, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_ang_mxu_grad_matches_xla():
     """Custom VJP of the block-diag MXU angular kernel (pair-packed path)."""
     from lft_tpu.kernels.ang_attn_mxu import ang_attention_mxu

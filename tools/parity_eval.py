@@ -121,6 +121,12 @@ def main(argv=None):
         print(f"using demo checkpoint {ckpt}")
     if ckpt is None:
         import jax
+        if args.platform:
+            # pin BEFORE the first backend use: init_params below would
+            # otherwise initialize the default (tunneled-TPU) backend --
+            # hanging on an unhealthy tunnel and making the later in-driver
+            # pin a no-op (backends are process-wide once initialized)
+            jax.config.update("jax_platforms", args.platform)
         from lft_tpu.config import Args
         from lft_tpu.models import lft
         p = lft.init_params(jax.random.PRNGKey(0),
