@@ -113,16 +113,23 @@ def main():
         b, p, "altblock.0.ang_trans.", ang_pe))
     timeit(f"ang_trans, batch {eb}", ang, p_cast, buf)
 
-    # upsampler path alone (1x1 conv C->C*S^2, pixel-shuffle, leaky,
-    # mosaic 3x3 conv -- the big HR-domain intermediates)
-    from lft_tpu.ops.unfold import conv2d_nhwc
+    # upsampler path alone, in the model's current TPU formulation
+    # (transposed-conv shuffle + 9-tap final conv, models/lft.py)
     mos = jnp.asarray(np.random.RandomState(4)
                       .rand(eb, A * patch, A * patch, C), compute_dtype)
     def upsample(p, m):
-        m = m @ p["upsampling.0.weight"][:, :, 0, 0].T
-        m = lft_mod._pixel_shuffle(m, S)
+        w_up = p["upsampling.0.weight"][:, :, 0, 0]
+        w_t = w_up.reshape(C, S, S, C).transpose(1, 2, 3, 0)[::-1, ::-1]
+        m = jax.lax.conv_transpose(m, w_t, strides=(S, S), padding="VALID",
+                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
         m = lft_mod._leaky(m)
-        return conv2d_nhwc(m, p["upsampling.3.weight"], padding="SAME")
+        w3 = p["upsampling.3.weight"]
+        w9 = w3[0].transpose(1, 2, 0).reshape(9, C)
+        z = jnp.einsum("bhwc,tc->bhwt", m, w9)
+        zp = jnp.pad(z, [(0, 0), (1, 1), (1, 1), (0, 0)])
+        Hs, Ws = m.shape[1], m.shape[2]
+        return sum(zp[:, dy:dy + Hs, dx:dx + Ws, dy * 3 + dx]
+                   for dy in range(3) for dx in range(3))
     timeit(f"upsampler, batch {eb}", jax.jit(upsample), p_cast, mos)
 
     # tiling alone: divide + integrate round trip at scene scale
