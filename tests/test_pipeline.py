@@ -57,6 +57,33 @@ def test_synth_dataset_loaders(synth_root):
                        hr[:64:2, :64:2].ravel())[0, 1] > 0.8
 
 
+def test_data_name_all_multi_dataset(tmp_path):
+    """--data_name ALL must sweep every dataset directory (reference
+    MultiTestSetDataLoader, utils/utils_datasets.py:50-64) and pool
+    training files across datasets (TrainSetDataLoader, :14-33)."""
+    pa = make_synth_data(str(tmp_path), ang_res=5, scale=2, n_train=2,
+                         n_test=1, train_patch=16, test_hw=32,
+                         dataset_name="SynthA", seed=1)
+    make_synth_data(str(tmp_path), ang_res=5, scale=2, n_train=3,
+                    n_test=2, train_patch=16, test_hw=32,
+                    dataset_name="SynthB", seed=2)
+    args = Args(angRes=5, scale_factor=2, channels=8, data_name="ALL",
+                path_for_train=pa["path_for_train"],
+                path_for_test=pa["path_for_test"])
+    names, sets, total = multi_test_sets(args)
+    assert names == ["SynthA", "SynthB"]
+    assert [len(s) for s in sets] == [1, 2] and total == 3
+    train = TrainDataset(args, seed=0)
+    assert len(train) == 5          # 2 + 3 pooled across datasets
+    # single-name selection still narrows to one dataset
+    args_b = Args(angRes=5, scale_factor=2, channels=8, data_name="SynthB",
+                  path_for_train=pa["path_for_train"],
+                  path_for_test=pa["path_for_test"])
+    names_b, sets_b, total_b = multi_test_sets(args_b)
+    assert names_b == ["SynthB"] and total_b == 2
+    assert len(TrainDataset(args_b, seed=0)) == 3
+
+
 def test_test_loader_transpose_semantics(synth_root):
     """Test loader must transpose (1,0) to undo Matlab column-major storage
     (reference utils/utils_datasets.py:89-90); train loader must NOT."""
