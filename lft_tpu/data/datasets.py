@@ -64,20 +64,32 @@ class TrainDataset:
         for name in self.data_list:
             files = sorted(os.listdir(os.path.join(self.dataset_dir, name)))
             self.file_list.extend(os.path.join(name, f) for f in files)
+        self.seed = seed
         self.rng = random.Random(seed) if seed is not None else None
 
     def __len__(self) -> int:
         return len(self.file_list)
 
-    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+    def item(self, index: int,
+             rng: Optional[random.Random]) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch one item with an EXPLICIT augmentation rng. Seeded batch
+        iteration derives `rng` per item from (epoch seed, index) so
+        prefetch-thread scheduling cannot reorder the draws -- seeded runs
+        are bitwise reproducible at any num_workers (the role the
+        reference's worker-seeded DataLoader plays, reference train.py:26)."""
         path = os.path.join(self.dataset_dir, self.file_list[index])
         with h5py.File(path, "r") as hf:
             data = np.array(hf.get("Lr_SAI_y"))
             label = np.array(hf.get("Hr_SAI_y"))
-        data, label = augmentation(data, label, self.rng)
+        data, label = augmentation(data, label, rng)
         # ToTensor-equivalent: add leading channel dim, keep float values
         return (np.ascontiguousarray(data, dtype=np.float32)[None],
                 np.ascontiguousarray(label, dtype=np.float32)[None])
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        # direct indexing keeps the shared-rng behavior (single-threaded
+        # callers); iterate_batches uses item() with a per-item rng
+        return self.item(index, self.rng)
 
 
 class TestDataset:
@@ -126,16 +138,31 @@ def iterate_batches(dataset, batch_size: int, shuffle: bool = True,
     With `drop_last=True` every batch has identical shape, so the jitted
     train step compiles exactly once. Items are fetched by a thread pool
     and batches are prefetched one ahead of the consumer.
+
+    When the dataset is seeded (TrainDataset(seed=...)), each item's
+    augmentation rng is derived from `(seed, index)` -- `seed` here is
+    already epoch-mixed by the trainer (trainer.py passes
+    `args.seed + epoch`) -- so two runs with the same seed produce
+    identical batches at ANY `num_workers`.
     """
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
     n = len(order)
     nb = n // batch_size if drop_last else -(-n // batch_size)
+    deterministic = (hasattr(dataset, "item")
+                     and getattr(dataset, "seed", None) is not None)
+
+    def fetch(i: int):
+        if deterministic:
+            # integer mix of (epoch seed, item index): distinct per item,
+            # non-colliding across epochs for any dataset < 1e6 items
+            return dataset.item(int(i), random.Random(1_000_003 * seed + int(i)))
+        return dataset[int(i)]
 
     def make_batch(bi: int):
         idxs = order[bi * batch_size:(bi + 1) * batch_size]
-        items = [dataset[int(i)] for i in idxs]
+        items = [fetch(i) for i in idxs]
         data = np.stack([it[0] for it in items])
         label = np.stack([it[1] for it in items])
         return data, label

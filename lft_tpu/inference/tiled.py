@@ -55,10 +55,20 @@ def make_scene_sr(model_apply, args, h0: int, w0: int,
         patch_sh = NamedSharding(mesh, P("dp"))
         rep = NamedSharding(mesh, P())
 
+    # inference never needs rematerialization; see lft.forward's remat note
+    import inspect
+    try:
+        sig = inspect.signature(model_apply)
+        no_remat = {"remat": False} if ("remat" in sig.parameters or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in sig.parameters.values())) else {}
+    except (TypeError, ValueError):
+        no_remat = {}
+
     def run_chunk(params, chunk):
         if mesh is not None:
             chunk = jax.lax.with_sharding_constraint(chunk, patch_sh)
-        return model_apply(params, chunk, args)
+        return model_apply(params, chunk, args, **no_remat)
 
     def pipeline(params, lr_mosaic):
         sub = lf_divide(lr_mosaic, A, patch, stride)       # [nU, nV, A*p, A*p]
@@ -81,10 +91,18 @@ def make_scene_sr(model_apply, args, h0: int, w0: int,
         views = lf_integrate(out, A, patch * S, stride * S, h0 * S, w0 * S)
         return views_4d_to_mosaic(views)
 
+    # Small-channel configs can hit XLA's scoped-VMEM ceiling on real TPUs:
+    # inside the lax.map while body XLA stack-allocates a Pallas kernel's
+    # [views, h, w, E] output in VMEM when it fits (~13 MB at c16/f32),
+    # leaving less than the attention kernel's own scratch needs under the
+    # default 16 MB limit. Raise the limit for this jit only; harmless
+    # where the default sufficed.
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": 24 * 1024}
+            if jax.devices()[0].platform == "tpu" else None)
     if mesh is not None:
-        return jax.jit(pipeline,
-                       in_shardings=(rep, rep), out_shardings=rep)
-    return jax.jit(pipeline)
+        return jax.jit(pipeline, in_shardings=(rep, rep), out_shardings=rep,
+                       compiler_options=opts)
+    return jax.jit(pipeline, compiler_options=opts)
 
 
 def _bucketed_size(n: int, need: int, bucket: int) -> int:
@@ -195,5 +213,8 @@ def evaluate_dataset(model_apply, params, args, dataset, cache=None,
             per_scene.append((name, p, s))
     finally:
         if ex:
-            ex.shutdown(wait=False)
+            # join the worker: shutdown(wait=False) would abandon an
+            # in-flight load() whose h5 handle stays open if the pipeline
+            # raised mid-sweep (cancel_futures drops anything still queued)
+            ex.shutdown(wait=True, cancel_futures=True)
     return float(np.mean(psnrs)), float(np.mean(ssims)), per_scene

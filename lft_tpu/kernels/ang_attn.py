@@ -26,8 +26,12 @@ def ang_attention_pallas(qn, v, in_proj_weight, out_proj_weight,
     kernel (perf A/B without code edits)."""
     from lft_tpu.kernels.ang_attn_mxu import mxu_applicable
     A2 = qn.shape[-2]
-    if (os.environ.get("LFT_ANG_VARIANT", "mxu") == "sweep"
-            or not mxu_applicable(A2)):
+    variant = os.environ.get("LFT_ANG_VARIANT", "mxu")
+    if variant not in ("mxu", "sweep"):
+        raise ValueError(
+            f"unknown angular attention variant {variant!r} "
+            f"(LFT_ANG_VARIANT?); valid: ('mxu', 'sweep')")
+    if variant == "sweep" or not mxu_applicable(A2):
         return ang_attention_pallas_ad(qn, v, in_proj_weight,
                                        out_proj_weight, num_heads)
     return ang_attention_mxu(qn, v, in_proj_weight, out_proj_weight,

@@ -243,8 +243,8 @@ def _vjp_bwd(num_heads, res, dout):
     G = max(BLK // A2, 1)
     rows = G * A2
     mask, hm = (jnp.asarray(c) for c in _consts(A2, C, num_heads, G))
-    io_dtype = (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
-                else q.dtype)
+    from lft_tpu.kernels.common import bwd_io_dtype
+    io_dtype = bwd_io_dtype(q.dtype)
     hm = hm.astype(io_dtype)
     qg, _ = _prep_groups(q.astype(io_dtype), A2, C, G)
     kg, _ = _prep_groups(k.astype(io_dtype), A2, C, G)

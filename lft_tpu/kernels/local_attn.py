@@ -18,10 +18,11 @@ fragments. Semantics are identical to `local_attention_tiled` (and hence
 to the reference's dense-masked softmax): verified by A/B parity tests in
 interpret mode (tests/test_kernels.py) and on device.
 
-The offset-sweep variant (lft_tpu/kernels/local_attn_vjp.py) is the
-default and carries a custom VJP, so `attention_impl='pallas'` works for
-both inference and training. The tile-halo variant below remains as the
-fallback for patches too large for the per-view VMEM budget.
+The default dispatch is the hybrid custom-VJP (kernels/spa_attn.py):
+head-packed MXU kernels per context, offset-sweep as fallback -- so
+`attention_impl='pallas'` works for both inference and training. The
+tile-halo variant below remains as the fallback for patches too large
+for the per-view VMEM budget. See kernels/README.md for the full matrix.
 """
 
 from __future__ import annotations
@@ -122,79 +123,8 @@ def _windowed_attention_pallas(q_img, k_img, v_img, num_heads: int, k: int,
 # VMEM budget gate for the per-view offset kernel (q,k,v,acc + temps, f32)
 _MAX_HW_OFFSET = 2048
 
-
-def _twopass_kernel(s_mat_ref, q_ref, k_ref, v_ref, o_ref, *,
-                    h, w, r, num_heads):
-    """Two-pass offset-sweep windowed attention, one view per grid step.
-
-    The online-softmax sweep (local_attn_vjp._fwd_kernel) pays a
-    correction chain per offset: running max/denominator updates plus a
-    head-broadcast GEMM and a full-width accumulator rescale, 25 times.
-    All 25 score planes are only [hw, H] f32 (~0.8 MB total), so this
-    variant stores them: pass A computes and stacks the masked scores,
-    then ONE max/exp/sum yields the softmax stats, and pass B does a
-    single broadcast-multiply-accumulate per offset -- no corrections.
-    """
-    from lft_tpu.kernels.local_attn_vjp import _bcast
-    E = q_ref.shape[-1]
-    dh = E // num_heads
-    hw = h * w
-    scale = jnp.float32(float(dh) ** -0.5)
-    q = q_ref[0].reshape(hw, E).astype(jnp.float32) * scale
-    s_mat = s_mat_ref[:, :]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (hw, num_heads), 0)
-    ys = idx // w
-    xs = idx - ys * w
-
-    offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
-    ss = []
-    for dy, dx in offs:                       # pass A: scores only
-        k_o = k_ref[0, r + dy:r + dy + h, r + dx:r + dx + w, :]
-        k_o = k_o.reshape(hw, E).astype(jnp.float32)
-        s = jnp.dot(q * k_o, s_mat, preferred_element_type=jnp.float32)
-        valid = ((ys + dy >= 0) & (ys + dy < h)
-                 & (xs + dx >= 0) & (xs + dx < w))
-        ss.append(jnp.where(valid, s, -1e30))
-    m = ss[0]
-    for s in ss[1:]:
-        m = jnp.maximum(m, s)
-    l = jnp.zeros_like(m)
-    for s in ss:
-        l = l + jnp.exp(s - m)
-    inv_l = 1.0 / l
-    acc = jnp.zeros((hw, E), jnp.float32)
-    for (dy, dx), s in zip(offs, ss):         # pass B: accumulate
-        v_o = v_ref[0, r + dy:r + dy + h, r + dx:r + dx + w, :]
-        v_o = v_o.reshape(hw, E).astype(jnp.float32)
-        p = jnp.exp(s - m) * inv_l
-        acc = acc + _bcast(p, s_mat) * v_o
-    o_ref[0] = acc.reshape(h, w, E).astype(o_ref.dtype)
-
-
-def windowed_attention_twopass(q_img, k_img, v_img, num_heads: int, k: int):
-    """Forward-only two-pass offset-sweep attention on projected
-    [B, h, w, E] q/k/v (window k x k). Gated by h*w <= _MAX_HW_OFFSET."""
-    from lft_tpu.kernels.local_attn_vjp import _head_sum_matrix
-    B, h, w, E = q_img.shape
-    r = k // 2
-    s_mat = jnp.asarray(_head_sum_matrix(E, num_heads))
-    kp = jnp.pad(k_img, [(0, 0), (r, r), (r, r), (0, 0)])
-    vp = jnp.pad(v_img, [(0, 0), (r, r), (r, r), (0, 0)])
-    img = pl.BlockSpec((1, h, w, E), lambda i: (i, 0, 0, 0),
-                       memory_space=pltpu.VMEM)
-    pad = pl.BlockSpec((1, h + 2 * r, w + 2 * r, E), lambda i: (i, 0, 0, 0),
-                       memory_space=pltpu.VMEM)
-    smat = pl.BlockSpec(s_mat.shape, lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)
-    kernel = functools.partial(_twopass_kernel, h=h, w=w, r=r,
-                               num_heads=num_heads)
-    interpret = jax.devices()[0].platform != "tpu"
-    return pl.pallas_call(
-        kernel, interpret=interpret, grid=(B,),
-        in_specs=[smat, img, pad, pad],
-        out_specs=img,
-        out_shape=jax.ShapeDtypeStruct((B, h, w, E), q_img.dtype),
-    )(s_mat, q_img, kp, vp)
+# Valid spatial-attention kernel variants ('auto' resolves per context)
+SPA_VARIANTS = ("auto", "mxu", "offset", "tile")
 
 
 def local_attention_pallas(qn: jnp.ndarray, v: jnp.ndarray,
@@ -216,6 +146,10 @@ def local_attention_pallas(qn: jnp.ndarray, v: jnp.ndarray,
     import os
     if variant == "auto":
         variant = os.environ.get("LFT_SPA_VARIANT", "auto")
+    if variant not in SPA_VARIANTS:
+        raise ValueError(
+            f"unknown spatial attention variant {variant!r} "
+            f"(LFT_SPA_VARIANT?); valid: {SPA_VARIANTS}")
     B, h, w, E = qn.shape
     from lft_tpu.kernels.spa_attn import (
         local_attention_tile_mxu, pick_tile, windowed_attention_hybrid)

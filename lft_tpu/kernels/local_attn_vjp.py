@@ -189,7 +189,13 @@ def _bwd_kernel(s_mat_ref, q_ref, k_ref, v_ref, do_ref, d_ref, m_ref, l_ref,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def windowed_attention(q_img, k_img, v_img, num_heads: int, k: int):
     """Differentiable fused windowed attention on [B, h, w, E] projected
-    q/k/v (q pre-scaled inside; window k x k)."""
+    q/k/v (q pre-scaled inside; window k x k).
+
+    NOTE: on TPU the backward streams k/v/dO as bf16 REGARDLESS of the
+    input dtype (accumulation stays f32) -- without it the kernel exceeds
+    the 16 MB scoped-VMEM budget. An f32 training run that must keep f32
+    gradients should use the tile-dense/head-packed hybrid path
+    (kernels/spa_attn.py), which honors the input dtype."""
     out, _, _ = _fwd(q_img, k_img, v_img, num_heads, k)
     return out
 

@@ -199,7 +199,12 @@ def _specs(h, w, E, r, n_tiles, nq, nk, num_heads):
 def _fwd(q_img, k_img, v_img, num_heads, k, with_stats):
     B, h, w, E = q_img.shape
     r = k // 2
-    th, tw = pick_tile(h, w)
+    tile = pick_tile(h, w)
+    if tile is None:
+        raise ValueError(
+            f"no valid query tile for ({h}, {w}); use the offset or "
+            f"XLA-tiled spatial attention impl for this geometry")
+    th, tw = tile
     n_tiles = (h // th) * (w // tw)
     nq, nk = th * tw, (th + 2 * r) * (tw + 2 * r)
     kp = jnp.pad(k_img, [(0, 0), (r, r), (r, r), (0, 0)])
@@ -254,8 +259,8 @@ def _vjp_bwd(num_heads, k, res, dout):
     th, tw = pick_tile(h, w)
     n_tiles = (h // th) * (w // tw)
     nq, nk = th * tw, (th + 2 * r) * (tw + 2 * r)
-    io_dtype = (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
-                else q_img.dtype)
+    from lft_tpu.kernels.common import bwd_io_dtype
+    io_dtype = bwd_io_dtype(q_img.dtype)
     kp = jnp.pad(k_img.astype(io_dtype), [(0, 0), (r, r), (r, r), (0, 0)])
     vp = jnp.pad(v_img.astype(io_dtype), [(0, 0), (r, r), (r, r), (0, 0)])
     mask = jnp.asarray(_np_tile_mask(th, tw, r, h, w))
@@ -314,12 +319,27 @@ def _hybrid_vjp_fwd(q_img, k_img, v_img, num_heads, k):
     return _vjp_fwd(q_img, k_img, v_img, num_heads, k)
 
 
-def _hybrid_vjp_bwd(num_heads, k, res, dout):
-    # both residual formats are (q, k, v, m, l); re-derive which kernel
-    # produced them from the (static) q shape -- same predicate as fwd
+def _use_headpacked_bwd(q_img, num_heads, k):
+    """The head-packed backward is used only when the I/O stays bf16: its
+    f32 form overflows the 16 MB scoped-VMEM stack (spa_attn_hp._vjp_bwd
+    notes V=2 already overflows in bf16). An f32-on-TPU run takes the
+    tile-dense backward instead -- both kernels share the (q, k, v, m, l)
+    residual layout (same pick_tile tiles, same per-head stats), so fwd and
+    bwd may legally pick different kernels."""
     from lft_tpu.kernels import spa_attn_hp as hp
-    B, h, w, E = res[0].shape
-    if hp.headpacked_applicable(h, w, E, num_heads, k):
+    from lft_tpu.kernels.common import bwd_io_dtype
+    B, h, w, E = q_img.shape
+    if not hp.headpacked_applicable(h, w, E, num_heads, k):
+        return False
+    return (jax.devices()[0].platform != "tpu"
+            or bwd_io_dtype(q_img.dtype) == jnp.bfloat16)
+
+
+def _hybrid_vjp_bwd(num_heads, k, res, dout):
+    # both residual formats are (q, k, v, m, l); re-derive which kernel to
+    # use from the (static) q shape and dtype
+    from lft_tpu.kernels import spa_attn_hp as hp
+    if _use_headpacked_bwd(res[0], num_heads, k):
         return hp._vjp_bwd(num_heads, k, res, dout)
     return _vjp_bwd(num_heads, k, res, dout)
 

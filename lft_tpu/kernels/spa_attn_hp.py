@@ -295,8 +295,8 @@ def _vjp_bwd(num_heads, k, res, dout):
     r, th, tw, n_tiles, nq, pad_b, img, pad, mspec = _geom(h, w, E, k, B, V)
     mask, hm = (jnp.asarray(c) for c in
                 _np_consts(th, tw, r, h, w, num_heads, E))
-    io_dtype = (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
-                else q_img.dtype)
+    from lft_tpu.kernels.common import bwd_io_dtype
+    io_dtype = bwd_io_dtype(q_img.dtype)
     hm = hm.astype(io_dtype)
     q_p = _pad_views(q_img.astype(io_dtype), pad_b)
     kp = _pad_views(k_img.astype(io_dtype), pad_b, r)

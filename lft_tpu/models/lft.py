@@ -225,10 +225,17 @@ def _pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
 
 
 def forward(params: Dict[str, jnp.ndarray], lr: jnp.ndarray, args,
-            attention_impl: str = None, dtype=None) -> jnp.ndarray:
+            attention_impl: str = None, dtype=None,
+            remat: bool = True) -> jnp.ndarray:
     """SR forward: lr [B, 1, A*h, A*w] (NCHW, like the reference) ->
     [B, 1, A*h*S, A*w*S]. Pure and jit/vmap/shard_map-friendly; all shape-
-    dependent state (PEs, masks, resize matrices) is static at trace time."""
+    dependent state (PEs, masks, resize matrices) is static at trace time.
+
+    `remat=True` (training default) checkpoints each AltFilter block.
+    Inference passes remat=False: besides being useless without a backward,
+    a checkpoint region inside the tiled pipeline's `lax.map` makes XLA
+    stack-allocate the attention kernels' outputs in scoped VMEM, which
+    overflows the 16 MB budget for small-channel configs on real TPUs."""
     A = args.angRes
     S = args.scale_factor
     C = args.channels
@@ -239,11 +246,11 @@ def forward(params: Dict[str, jnp.ndarray], lr: jnp.ndarray, args,
         # trace the whole forward under the requested matmul precision
         # ('highest' => f32-exact parity mode; 'default' inherits ambient)
         with jax.default_matmul_precision(prec):
-            return _forward_body(params, lr, args, impl, compute_dtype)
-    return _forward_body(params, lr, args, impl, compute_dtype)
+            return _forward_body(params, lr, args, impl, compute_dtype, remat)
+    return _forward_body(params, lr, args, impl, compute_dtype, remat)
 
 
-def _forward_body(params, lr, args, impl, compute_dtype):
+def _forward_body(params, lr, args, impl, compute_dtype, remat=True):
     A = args.angRes
     S = args.scale_factor
     C = args.channels
@@ -284,7 +291,9 @@ def _forward_body(params, lr, args, impl, compute_dtype):
         # [.., 25, 25] score activations of 4 blocks OOM HBM at the
         # reference's training batch sizes; recomputing them in backward
         # costs far less than it saves (SURVEY-scale model, cheap forward)
-        blk = jax.checkpoint(functools.partial(_alt_block, prefix_i=i))
+        blk = functools.partial(_alt_block, prefix_i=i)
+        if remat:
+            blk = jax.checkpoint(blk)
         buf = blk(buf, p)
     buf = buf + res                                                   # model/LFT.py:76
 

@@ -56,21 +56,37 @@ def resize_matrix_torch(in_len: int, out_len: int) -> np.ndarray:
     return W.astype(np.float32)
 
 
+def _triangle_kernel(x: np.ndarray) -> np.ndarray:
+    """Bilinear (triangle) kernel: parity port of reference
+    utils/imresize.py:17-22."""
+    x = np.asarray(x, dtype=np.float64)
+    return (x + 1.0) * ((x >= -1.0) & (x < 0.0)) \
+        + (1.0 - x) * ((x >= 0.0) & (x <= 1.0))
+
+
 @functools.lru_cache(maxsize=None)
-def resize_matrix_matlab(in_len: int, out_len: int) -> np.ndarray:
-    """[out_len, in_len] float32 matrix reproducing Matlab `imresize`'s
-    bicubic along one dim (faithful to reference utils/imresize.py:32-52):
-    a = -0.5 kernel, antialiasing when scale < 1 (kernel stretched by 1/scale
-    and scaled), taps renormalized to sum 1, symmetric (mirror-with-edge)
-    boundary via the reference's `aux` index folding."""
+def resize_matrix_matlab(in_len: int, out_len: int,
+                         kernel: str = "cubic") -> np.ndarray:
+    """[out_len, in_len] float32 matrix reproducing Matlab `imresize`
+    along one dim (faithful to reference utils/imresize.py:32-52):
+    antialiasing when scale < 1 (kernel stretched by 1/scale and scaled),
+    taps renormalized to sum 1, symmetric (mirror-with-edge) boundary via
+    the reference's `aux` index folding.
+
+    kernel='cubic' (a = -0.5 Keys kernel, the data-generation path) or
+    'triangle' (bilinear, reference utils/imresize.py:101-107's
+    method='bilinear' branch -- note the reference keeps kernel_width 4.0
+    for it too, which is harmless since taps renormalize)."""
     scale = out_len / in_len
     a = -0.5
+    base = (functools.partial(_cubic_kernel, a=a) if kernel == "cubic"
+            else _triangle_kernel)
     k_width = 4.0
     if scale < 1.0:
-        kernel = lambda x: scale * _cubic_kernel(scale * np.asarray(x, dtype=np.float64), a)
+        kernel_fn = lambda x: scale * base(scale * np.asarray(x, dtype=np.float64))
         kernel_width = k_width / scale
     else:
-        kernel = lambda x: _cubic_kernel(np.asarray(x, dtype=np.float64), a)
+        kernel_fn = lambda x: base(np.asarray(x, dtype=np.float64))
         kernel_width = k_width
     x = np.arange(1, out_len + 1, dtype=np.float64)
     u = x / scale + 0.5 * (1.0 - 1.0 / scale)
@@ -78,7 +94,7 @@ def resize_matrix_matlab(in_len: int, out_len: int) -> np.ndarray:
     P = int(math.ceil(kernel_width)) + 2
     ind = left[:, None] + np.arange(P)[None, :] - 1.0
     indices = ind.astype(np.int64)
-    weights = kernel(u[:, None] - indices - 1.0)
+    weights = kernel_fn(u[:, None] - indices - 1.0)
     weights = weights / np.sum(weights, axis=1, keepdims=True)
     # symmetric boundary folding (reference utils/imresize.py:47-48)
     aux = np.concatenate([np.arange(in_len), np.arange(in_len - 1, -1, -1)]).astype(np.int64)
@@ -130,7 +146,11 @@ def bicubic_upscale_views(mosaic: jnp.ndarray, ang_res: int, scale: int) -> jnp.
 def imresize(img, scalar_scale=None, output_shape=None, method: str = "matlab"):
     """Matlab-imresize-compatible entry point (numpy in / numpy out), the
     Matlab-free replacement for reference utils/imresize.py:101-139 used by
-    the data generators. Operates on [H, W] or [H, W, C] float arrays."""
+    the data generators. Operates on [H, W] or [H, W, C] float arrays.
+
+    method: 'matlab' (== the reference's 'bicubic'), 'bilinear' (the
+    reference's triangle-kernel branch, utils/imresize.py:101-107), or
+    'torch' (F.interpolate parity, not a reference imresize mode)."""
     img = np.asarray(img)
     if scalar_scale is not None:
         out_h = int(math.ceil(scalar_scale * img.shape[0]))
@@ -139,7 +159,14 @@ def imresize(img, scalar_scale=None, output_shape=None, method: str = "matlab"):
         out_h, out_w = int(output_shape[0]), int(output_shape[1])
     else:
         raise ValueError("scalar_scale OR output_shape must be given")
-    mat = resize_matrix_matlab if method == "matlab" else resize_matrix_torch
+    if method in ("matlab", "bicubic"):
+        mat = resize_matrix_matlab
+    elif method == "bilinear":
+        mat = functools.partial(resize_matrix_matlab, kernel="triangle")
+    elif method == "torch":
+        mat = resize_matrix_torch
+    else:
+        raise ValueError(f"unknown imresize method {method!r}")
     Wh = mat(img.shape[0], out_h).astype(np.float64)
     Ww = mat(img.shape[1], out_w).astype(np.float64)
     squeeze = img.ndim == 2

@@ -151,27 +151,50 @@ def cal_loss_class(probability: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((K - 1) - sum_re)
 
 
+def _view_stack(label, out, a: int):
+    """-> per-view stacks [N, h, w], one pair per (batch, u, v), covering
+    every input form the reference's cal_metrics accepts
+    (reference utils/utils.py:56-78)."""
+    if label.ndim == 2:                       # [A*h, A*w] mosaic (ref :57-59)
+        label, out = label[None], out[None]
+    if label.ndim == 4:                       # [B, C, H, W] (ref :61-65):
+        # channel 0 of a batched mosaic. The reference views `label` with
+        # H//A on BOTH spatial axes (its quirk at utils/utils.py:63) --
+        # identical for the square inputs both pipelines use; enforce
+        # squareness so the quirk can never silently diverge here.
+        if label.shape[-2] != label.shape[-1]:
+            raise ValueError(
+                "4-D cal_metrics input must be square (the reference's "
+                f"view() assumes H == W); got {label.shape}")
+        label, out = label[:, 0], out[:, 0]
+    if label.ndim == 5:                       # [C, U, V, h, w] (ref :67-70):
+        # channel 0 of a per-view tensor; already view-separated
+        lv, ov = label[0], out[0]
+        U, V, h, w = lv.shape
+        return lv.reshape(U * V, h, w), ov.reshape(U * V, h, w)
+    B, H, W = label.shape                     # [B, A*h, A*w] mosaics
+    h, w = H // a, W // a
+    lv = label.reshape(B, a, h, a, w).transpose(0, 1, 3, 2, 4).reshape(B * a * a, h, w)
+    ov = out.reshape(B, a, h, a, w).transpose(0, 1, 3, 2, 4).reshape(B * a * a, h, w)
+    return lv, ov
+
+
 def cal_metrics(label, out, ang_res: int, psnr_data_range=None,
                 ssim_data_range=None):
-    """Per-view PSNR/SSIM of SAI mosaics, averaged over views.
+    """Per-view PSNR/SSIM, averaged over views.
 
-    Parity port of reference utils/utils.py:56-88: `label`/`out` are 2-D
-    `[A*h, A*w]` mosaics (or `[B, A*h, A*w]`); metrics are computed per view
-    (u, v) and averaged with the reference's positive-mask mean
+    Parity port of reference utils/utils.py:56-88. `label`/`out` may be a
+    2-D `[A*h, A*w]` mosaic, batched `[B, A*h, A*w]` mosaics, a 4-D
+    `[B, C, H, W]` batch (channel 0 used, like the reference), or a 5-D
+    `[C, U, V, h, w]` per-view tensor. Metrics are computed per view (u, v)
+    and averaged with the reference's positive-mask mean
     (`sum / count(x > 0)`, reference utils/utils.py:85-86).
 
     Returns (psnr_mean, ssim_mean) as jnp scalars. Jit-compatible.
     """
     label = jnp.asarray(label)
     out = jnp.asarray(out)
-    if label.ndim == 2:
-        label = label[None]
-        out = out[None]
-    B, H, W = label.shape
-    a = ang_res
-    h, w = H // a, W // a
-    lv = label.reshape(B, a, h, a, w).transpose(0, 1, 3, 2, 4).reshape(B * a * a, h, w)
-    ov = out.reshape(B, a, h, a, w).transpose(0, 1, 3, 2, 4).reshape(B * a * a, h, w)
+    lv, ov = _view_stack(label, out, ang_res)
 
     p = jax.vmap(lambda r, t: psnr(r, t, psnr_data_range))(lv, ov)
     s = ssim(lv, ov, ssim_data_range)

@@ -73,6 +73,24 @@ def test_option_module_compat(tmp_path):
     assert "option-compat OK" in res.stdout
 
 
+def test_train_step_parity_vs_reference(tmp_path):
+    """One-step (plus 2-step curve) training parity vs the reference's
+    torch loop (tools/parity_train.py; reference train.py:77-84,111-138).
+    Tiny config so the quick tier stays fast; the committed
+    PARITY_train.json artifact records the fuller 8-step c16 run."""
+    import pytest
+    pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference mount not available")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import parity_train
+    rc = parity_train.main(["--channels", "8", "--patch", "4", "--batch", "1",
+                            "--steps", "2",
+                            "--workdir", str(tmp_path),
+                            "--json", str(tmp_path / "out.json")])
+    assert rc == 0
+
+
 def test_cal_loss_class_matches_reference_semantics():
     """Vectorized port must equal the reference's O(B*K^2) loop
     (reference utils/utils.py:197-210)."""

@@ -229,6 +229,60 @@ def test_ang_mxu_grad_matches_xla():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5, name
 
 
+def test_pallas_tile_halo_variant_matches_tiled():
+    """The tile-halo Pallas kernel (variant='tile', the large-patch
+    fallback for h*w > the offset kernel's VMEM gate) vs the XLA tiled
+    path -- direct coverage, since the default dispatch no longer routes
+    through it at test geometries."""
+    from lft_tpu.kernels.local_attn import local_attention_pallas
+    B, h, w, E, H = 2, 16, 16, 128, 8
+    qn = _rand((B, h, w, E), 80)
+    v = _rand((B, h, w, E), 81)
+    wi = _rand((3 * E, E), 82, 0.2)
+    wo = _rand((E, E), 83, 0.2)
+    ref = A.local_attention(qn, v, wi, wo, H, k=5, impl="tiled")
+    out = local_attention_pallas(qn, v, wi, wo, H, k=5, variant="tile")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_unknown_variant_raises():
+    """A typo'd LFT_SPA_VARIANT/LFT_ANG_VARIANT must error, not silently
+    fall through to the slowest path."""
+    import os
+    from lft_tpu.kernels.local_attn import local_attention_pallas
+    from lft_tpu.kernels.ang_attn import ang_attention_pallas
+    B, h, w, E, H = 1, 16, 16, 64, 8
+    qn = _rand((B, h, w, E), 90)
+    v = _rand((B, h, w, E), 91)
+    wi = _rand((3 * E, E), 92, 0.2)
+    wo = _rand((E, E), 93, 0.2)
+    with pytest.raises(ValueError, match="unknown spatial attention"):
+        local_attention_pallas(qn, v, wi, wo, H, k=5, variant="mxuu")
+    os.environ["LFT_ANG_VARIANT"] = "sweeep"
+    try:
+        with pytest.raises(ValueError, match="unknown angular attention"):
+            ang_attention_pallas(_rand((1, 16, 25, 64), 94),
+                                 _rand((1, 16, 25, 64), 95),
+                                 _rand((192, 64), 96, 0.2),
+                                 _rand((64, 64), 97, 0.2), 8)
+    finally:
+        del os.environ["LFT_ANG_VARIANT"]
+
+
+def test_spa_mxu_untileable_geometry_raises():
+    """Calling the tile-dense MXU kernel on an untileable (h, w) must give
+    an explicit error, not an opaque NoneType unpack failure."""
+    from lft_tpu.kernels.spa_attn import local_attention_tile_mxu
+    B, h, w, E, H = 1, 7, 11, 64, 8
+    qn = _rand((B, h, w, E), 98)
+    v = _rand((B, h, w, E), 99)
+    wi = _rand((3 * E, E), 100, 0.2)
+    wo = _rand((E, E), 101, 0.2)
+    with pytest.raises(ValueError, match="no valid query tile"):
+        local_attention_tile_mxu(qn, v, wi, wo, H, k=5)
+
+
 @pytest.mark.slow
 def test_model_grad_pallas_matches_tiled():
     """End-to-end model gradients: pallas impl vs XLA tiled impl."""

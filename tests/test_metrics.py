@@ -91,3 +91,32 @@ def test_cal_metrics_mosaic():
             ss.append(_ssim_ref(lv[u, v], ov[u, v], 2.0))
     assert abs(float(p) - np.mean(ps)) < 1e-3
     assert abs(float(s) - np.mean(ss)) < 1e-5
+
+
+def test_cal_metrics_4d_and_5d_inputs():
+    """The reference's 4-D [B, C, H, W] and 5-D [C, U, V, h, w] input
+    branches (reference utils/utils.py:61-70) must agree with the 2-D
+    mosaic path on the same data (channel 0 only, like the reference)."""
+    rng = np.random.RandomState(5)
+    a_res, h, w = 3, 16, 16
+    label = rng.rand(a_res * h, a_res * w).astype(np.float32)
+    out = np.clip(label + 0.05 * rng.randn(*label.shape).astype(np.float32), 0, 1)
+    p2, s2 = metrics.cal_metrics(label, out, a_res)
+
+    # 4-D: batched mosaic with a channel axis; extra channels are ignored
+    l4 = np.stack([label, rng.rand(*label.shape).astype(np.float32)])[None]
+    o4 = np.stack([out, rng.rand(*label.shape).astype(np.float32)])[None]
+    p4, s4 = metrics.cal_metrics(l4, o4, a_res)
+    assert abs(float(p4) - float(p2)) < 1e-5
+    assert abs(float(s4) - float(s2)) < 1e-6
+
+    # 5-D: [C, U, V, h, w] per-view tensor
+    lv = label.reshape(a_res, h, a_res, w).transpose(0, 2, 1, 3)
+    ov = out.reshape(a_res, h, a_res, w).transpose(0, 2, 1, 3)
+    p5, s5 = metrics.cal_metrics(lv[None], ov[None], a_res)
+    assert abs(float(p5) - float(p2)) < 1e-5
+    assert abs(float(s5) - float(s2)) < 1e-6
+
+    # 4-D rectangular input hits the reference's square-only view() quirk
+    with pytest.raises(ValueError, match="square"):
+        metrics.cal_metrics(l4[..., :-a_res], o4[..., :-a_res], a_res)

@@ -20,9 +20,19 @@ def _params_from_golden(g):
             if k.startswith("param.")}
 
 
-@pytest.mark.parametrize("name", ["model_s2_c16.npz", "model_s4_c16.npz",
-                                  "model_s2_c64.npz", "model_s4_c64.npz"])
-@pytest.mark.parametrize("impl", ["dense", "tiled"])
+# full-width (c64) x dense combos are the two heaviest quick-tier cases
+# (~40 s each); the production impl (tiled) keeps quick coverage of c64,
+# the dense-mask parity at full width runs in the slow tier
+_PARITY_CASES = [
+    (name, impl) if not (impl == "dense" and "c64" in name)
+    else pytest.param(name, impl, marks=pytest.mark.slow)
+    for name in ["model_s2_c16.npz", "model_s4_c16.npz",
+                 "model_s2_c64.npz", "model_s4_c64.npz"]
+    for impl in ["dense", "tiled"]
+]
+
+
+@pytest.mark.parametrize("name,impl", _PARITY_CASES)
 def test_forward_parity(goldens, name, impl):
     g = goldens(name)
     a, s, c, h, w, b = [int(v) for v in g["meta"]]

@@ -99,6 +99,30 @@ def test_test_loader_transpose_semantics(synth_root):
     train.rng = __import__("random").Random(1)  # force no-aug path check below
 
 
+def test_seeded_batches_reproducible_under_prefetch(synth_root):
+    """Two seeded epochs must produce bitwise-identical batches regardless
+    of num_workers: the per-item (seed, index) augmentation rng makes
+    prefetch-thread scheduling irrelevant (the reference's worker-seeded
+    DataLoader semantics, reference train.py:26-27)."""
+    args = _args(synth_root)
+    train = TrainDataset(args, seed=7)
+
+    def epoch(num_workers):
+        return [(d.copy(), l.copy()) for d, l in iterate_batches(
+            train, batch_size=2, shuffle=True, seed=123,
+            num_workers=num_workers)]
+
+    a = epoch(2)
+    b = epoch(2)
+    c = epoch(0)
+    assert len(a) == len(b) == len(c) == 2
+    for (da, la), (db, lb), (dc, lc) in zip(a, b, c):
+        np.testing.assert_array_equal(da, db)
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(da, dc)
+        np.testing.assert_array_equal(la, lc)
+
+
 def test_augmentation_ops():
     import random as _random
     rng = _random.Random(0)

@@ -159,6 +159,13 @@ def golden_imresize(imresize_mod, name, seed=13):
     data["down4"] = imresize_mod.imresize(im, scalar_scale=0.25)
     data["up2"] = imresize_mod.imresize(im, scalar_scale=2.0)
     data["shape_13x11"] = imresize_mod.imresize(im, output_shape=(13, 11))
+    # the reference's (dead in its own data path) triangle-kernel branch
+    data["bl_down2"] = imresize_mod.imresize(im, scalar_scale=0.5,
+                                             method="bilinear")
+    data["bl_up2"] = imresize_mod.imresize(im, scalar_scale=2.0,
+                                           method="bilinear")
+    data["bl_shape_13x11"] = imresize_mod.imresize(im, output_shape=(13, 11),
+                                                   method="bilinear")
     np.savez_compressed(os.path.join(OUT_DIR, name), **data)
     print(f"{name}: {len(data)} arrays")
 
