@@ -16,7 +16,9 @@ proven in kernels/ang_attn_mxu.py:
   matmul yields every (query, head, key) score;
 * the static window+bounds+pad mask (numpy-precomputed, streamed in) is
   shared across heads -- tiled H times along the lane axis;
-* softmax per 256-wide head block (aligned slices, f32 VPU);
+* deferred-normalization row softmax: one row-wide max/exp, per-head
+  normalizers from aligned KB-wide segment sums, divide folded in after
+  the value matmul (see kernels/ang_attn_mxu.py);
 * out = a @ V_rep: head-masked V_rep makes each output channel pick up
   exactly its own head's attention rows, so the [128, H*KB] x [H*KB, E]
   product directly produces the concatenated-head output.
@@ -37,6 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lft_tpu.kernels.ang_attn_mxu import _seg_bcast_matrix, _seg_sums
 from lft_tpu.kernels.spa_attn import pick_tile
 
 KB = 256  # per-head key-column block (2 lane tiles; nk <= KB required)
@@ -100,35 +103,39 @@ def _fwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref, o_ref, *,
                 s = jax.lax.dot_general(
                     q_t, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)   # [nq, H*KB] MXU
-                s = s * scale
                 mask = mask_ref[t_idx]                    # [nq, KB] f32
-                # per-head softmax over aligned 256-wide lane slices. (A
-                # "vectorized" [nq, H, KB] reshape variant lowers to a
-                # pathological Mosaic relayout -- compile never finishes.)
-                a_blocks, ms, ls = [], [], []
-                for hd in range(num_heads):
-                    blk = s[:, hd * KB:(hd + 1) * KB] + mask
-                    m = jnp.max(blk, axis=-1, keepdims=True)
-                    e = jnp.exp(blk - m)
-                    l = jnp.sum(e, axis=-1, keepdims=True)
-                    a_blocks.append(e / l)
-                    if with_stats:
-                        ms.append(m)
-                        ls.append(l)
-                a = jnp.concatenate(a_blocks, axis=-1).astype(v_rep.dtype)
-                o_t = jax.lax.dot_general(
-                    a, v_rep, dimension_numbers=(((1,), (0,)), ((), ())),
+                # the window+bounds mask is head-independent: tile it along
+                # the lane axis so the whole row is masked at once
+                s = s * scale + jnp.concatenate([mask] * num_heads, axis=-1)
+                # Deferred-normalization row softmax (see
+                # kernels/ang_attn_mxu.py): one row-wide max is an exact
+                # shift for every head segment; per-head normalizers from
+                # aligned KB-wide segment sums; the divide folds in after
+                # the value matmul as a (1/l) @ HM broadcast. Replaces the
+                # per-head max/exp/sum/div/concat loop with 4 full-width
+                # ops.
+                m = jnp.max(s, axis=-1, keepdims=True)    # [nq, 1]
+                e = jnp.exp(s - m)                        # masked -> 0
+                l = _seg_sums(e, num_heads, KB)           # [nq, H]
+                out_raw = jax.lax.dot_general(
+                    e.astype(v_rep.dtype), v_rep,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)   # [nq, E] MXU
+                o_t = out_raw * jnp.dot(
+                    1.0 / l, hm_ref[:, :].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
                 o_ref[vi, ti * th:(ti + 1) * th,
                       tj * tw:(tj + 1) * tw, :] = (
                     o_t.reshape(th, tw, E).astype(o_ref.dtype))
                 if with_stats:
-                    m_ref[vi, t_idx] = jnp.concatenate(ms, axis=-1)
-                    l_ref[vi, t_idx] = jnp.concatenate(ls, axis=-1)
+                    m_ref[vi, t_idx] = m + jnp.zeros((nq, num_heads),
+                                                     jnp.float32)
+                    l_ref[vi, t_idx] = l
 
 
-def _bwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref, do_ref, m_ref, l_ref,
-                dq_ref, dk_ref, dv_ref, *, h, w, th, tw, r, num_heads):
+def _bwd_kernel(mask_ref, hm_ref, seg_ref, q_ref, k_ref, v_ref, do_ref,
+                m_ref, l_ref, dq_ref, dk_ref, dv_ref, *, h, w, th, tw, r,
+                num_heads):
     """Head-packed dense-attention backward, same tile structure: every
     matmul is a full-depth MXU contraction (standard identities; dk/dv
     de-replicated via the head masks and accumulated into PADDED
@@ -161,20 +168,21 @@ def _bwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref, do_ref, m_ref, l_ref,
                 s = jax.lax.dot_general(
                     q_t, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
+                s = s + jnp.concatenate([mask] * num_heads, axis=-1)
                 dov = jax.lax.dot_general(
                     do_t, v_rep, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)   # [nq, H*KB]
-                a_blocks, ds_blocks = [], []
-                for hd in range(num_heads):
-                    blk = s[:, hd * KB:(hd + 1) * KB] + mask
-                    a_h = (jnp.exp(blk - m_t[:, hd:hd + 1])
-                           / l_t[:, hd:hd + 1])
-                    dov_h = dov[:, hd * KB:(hd + 1) * KB]
-                    D_h = jnp.sum(a_h * dov_h, axis=-1, keepdims=True)
-                    ds_blocks.append(a_h * (dov_h - D_h) * scale)
-                    a_blocks.append(a_h)
-                ds = jnp.concatenate(ds_blocks, axis=-1).astype(q_t.dtype)
-                a = jnp.concatenate(a_blocks, axis=-1).astype(q_t.dtype)
+                # whole-row softmax recompute with Seg-broadcast stats
+                # (see kernels/ang_attn_mxu.py's backward)
+                seg = seg_ref[:, :]                       # [H, H*KB]
+                m_b = jnp.dot(m_t, seg, preferred_element_type=jnp.float32)
+                inv_b = jnp.dot(1.0 / l_t, seg,
+                                preferred_element_type=jnp.float32)
+                a_f = jnp.exp(s - m_b) * inv_b            # [nq, H*KB]
+                D = _seg_sums(a_f * dov, num_heads, KB)   # [nq, H]
+                D_b = jnp.dot(D, seg, preferred_element_type=jnp.float32)
+                ds = (a_f * (dov - D_b) * scale).astype(q_t.dtype)
+                a = a_f.astype(q_t.dtype)
                 dq_t = jax.lax.dot_general(
                     ds, k_rep, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)   # [nq, E]
@@ -295,6 +303,7 @@ def _vjp_bwd(num_heads, k, res, dout):
     r, th, tw, n_tiles, nq, pad_b, img, pad, mspec = _geom(h, w, E, k, B, V)
     mask, hm = (jnp.asarray(c) for c in
                 _np_consts(th, tw, r, h, w, num_heads, E))
+    seg = jnp.asarray(_seg_bcast_matrix(num_heads, KB))
     from lft_tpu.kernels.common import bwd_io_dtype
     io_dtype = bwd_io_dtype(q_img.dtype)
     hm = hm.astype(io_dtype)
@@ -318,16 +327,18 @@ def _vjp_bwd(num_heads, k, res, dout):
     Bp = B + pad_b
     kernel = functools.partial(_bwd_kernel, h=h, w=w, th=th, tw=tw, r=r,
                                num_heads=num_heads)
+    segspec = pl.BlockSpec((num_heads, num_heads * KB), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
     dq, dk_pad, dv_pad = pl.pallas_call(
         kernel, interpret=interpret, grid=(Bp // V,),
-        in_specs=[mspec, hspec, img, pad, pad, img, stat, stat],
+        in_specs=[mspec, hspec, segspec, img, pad, pad, img, stat, stat],
         out_specs=(img, pad, pad),
         out_shape=(jax.ShapeDtypeStruct((Bp, h, w, E), q_img.dtype),
                    jax.ShapeDtypeStruct((Bp, h + 2 * r, w + 2 * r, E),
                                         jnp.float32),
                    jax.ShapeDtypeStruct((Bp, h + 2 * r, w + 2 * r, E),
                                         jnp.float32)),
-    )(mask, hm, q_p, kp, vp, do_p, m_p, l_p)
+    )(mask, hm, seg, q_p, kp, vp, do_p, m_p, l_p)
     dk = dk_pad[:B, r:r + h, r:r + w, :].astype(k_img.dtype)
     dv = dv_pad[:B, r:r + h, r:r + w, :].astype(v_img.dtype)
     return dq[:B], dk, dv
