@@ -32,6 +32,7 @@ de-replicated with the same head masks).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -97,7 +98,9 @@ def _replicate(x, hm_ref, num_heads, rows):
     return rep.reshape(num_heads * BLK, C)
 
 
-GPS = 8  # groups per grid step: amortizes per-step DMA/bookkeeping
+GPS = int(os.environ.get("LFT_ANG_GPS", "8") or 8)
+# groups per grid step: amortizes per-step DMA/bookkeeping; env override
+# for A/B benchmarking
 
 
 def _fwd_kernel(mask_ref, hm_ref, q_ref, k_ref, v_ref,

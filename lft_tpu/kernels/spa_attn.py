@@ -311,21 +311,15 @@ def windowed_attention_hybrid(q_img, k_img, v_img, num_heads: int, k: int):
     return windowed_attention(q_img, k_img, v_img, num_heads, k)
 
 
-def _hybrid_vjp_fwd(q_img, k_img, v_img, num_heads, k):
-    from lft_tpu.kernels import spa_attn_hp as hp
-    B, h, w, E = q_img.shape
-    if hp.headpacked_applicable(h, w, E, num_heads, k):
-        return hp._vjp_fwd(q_img, k_img, v_img, num_heads, k)
-    return _vjp_fwd(q_img, k_img, v_img, num_heads, k)
-
-
-def _use_headpacked_bwd(q_img, num_heads, k):
-    """The head-packed backward is used only when the I/O stays bf16: its
-    f32 form overflows the 16 MB scoped-VMEM stack (spa_attn_hp._vjp_bwd
-    notes V=2 already overflows in bf16). An f32-on-TPU run takes the
-    tile-dense backward instead -- both kernels share the (q, k, v, m, l)
-    residual layout (same pick_tile tiles, same per-head stats), so fwd and
-    bwd may legally pick different kernels."""
+def _use_headpacked_pair(q_img, num_heads, k):
+    """The head-packed fwd/bwd PAIR is used only when the backward I/O
+    stays bf16: its f32 form overflows the 16 MB scoped-VMEM stack
+    (spa_attn_hp._vjp_bwd notes V=2 already overflowed at the old, larger
+    geometry). An f32-on-TPU run takes the tile-dense pair instead.  The
+    choice is static (shape/dtype/platform) and must be made ONCE for
+    both directions: the (m, l) residual stats are laid out per
+    (tile, query, head), and the two kernel families pick their tile
+    geometries independently (pick_hp_geometry vs pick_tile)."""
     from lft_tpu.kernels import spa_attn_hp as hp
     from lft_tpu.kernels.common import bwd_io_dtype
     B, h, w, E = q_img.shape
@@ -335,11 +329,19 @@ def _use_headpacked_bwd(q_img, num_heads, k):
             or bwd_io_dtype(q_img.dtype) == jnp.bfloat16)
 
 
-def _hybrid_vjp_bwd(num_heads, k, res, dout):
-    # both residual formats are (q, k, v, m, l); re-derive which kernel to
-    # use from the (static) q shape and dtype
+def _hybrid_vjp_fwd(q_img, k_img, v_img, num_heads, k):
     from lft_tpu.kernels import spa_attn_hp as hp
-    if _use_headpacked_bwd(res[0], num_heads, k):
+    if _use_headpacked_pair(q_img, num_heads, k):
+        return hp._vjp_fwd(q_img, k_img, v_img, num_heads, k)
+    return _vjp_fwd(q_img, k_img, v_img, num_heads, k)
+
+
+def _hybrid_vjp_bwd(num_heads, k, res, dout):
+    # re-derive the (static) choice made in _hybrid_vjp_fwd from the
+    # residual q's shape and dtype -- fwd and bwd must agree, the stats
+    # layouts differ between the kernel families
+    from lft_tpu.kernels import spa_attn_hp as hp
+    if _use_headpacked_pair(res[0], num_heads, k):
         return hp._vjp_bwd(num_heads, k, res, dout)
     return _vjp_bwd(num_heads, k, res, dout)
 
