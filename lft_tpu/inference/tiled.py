@@ -25,7 +25,8 @@ from lft_tpu.ops.tiling import lf_divide, lf_integrate, tiling_grid, views_4d_to
 
 
 def make_scene_sr(model_apply, args, h0: int, w0: int,
-                  eval_batch: Optional[int] = None, mesh=None):
+                  eval_batch: Optional[int] = None, mesh=None,
+                  n_scenes: int = 1):
     """Build a jitted `scene_sr(params, lr_mosaic [A*h0, A*w0]) -> sr mosaic
     [A*h0*S, A*w0*S]` for one scene geometry.
 
@@ -35,13 +36,20 @@ def make_scene_sr(model_apply, args, h0: int, w0: int,
     a real patch (a 7x7 grid at eval_batch=16 previously computed 64 patch
     slots for 49 real patches). With `mesh`, the patch axis of each chunk is
     sharding-constrained over 'dp' so chips split the grid (the remainder is
-    padded only up to the device count)."""
+    padded only up to the device count).
+
+    `n_scenes > 1` batches several same-geometry scenes through ONE jit
+    call (`[N, A*h0, A*w0] -> [N, A*h0*S, A*w0*S]`): their patch grids
+    concatenate along the chunk axis, so the per-dispatch overhead of the
+    device transport AND the remainder-chunk recompile amortize N ways --
+    the 128^2-scene workload is dispatch-bound otherwise (~29 ms/dispatch
+    on this host's tunneled TPU, docs/PERFORMANCE.md)."""
     A = args.angRes
     S = args.scale_factor
     patch = args.patch_size_for_test
     stride = args.stride_for_test
     g = tiling_grid(h0, w0, patch, stride)
-    n_patches = g["numU"] * g["numV"]
+    n_patches = g["numU"] * g["numV"] * n_scenes
     eb = min(eval_batch or args.eval_batch, n_patches)
     ndev = mesh.devices.size if mesh is not None else 1
     if mesh is not None:
@@ -71,7 +79,8 @@ def make_scene_sr(model_apply, args, h0: int, w0: int,
         return model_apply(params, chunk, args, **no_remat)
 
     def pipeline(params, lr_mosaic):
-        sub = lf_divide(lr_mosaic, A, patch, stride)       # [nU, nV, A*p, A*p]
+        lr_s = lr_mosaic if n_scenes > 1 else lr_mosaic[None]
+        sub = jax.vmap(lambda m: lf_divide(m, A, patch, stride))(lr_s)
         flat = sub.reshape(n_patches, 1, A * patch, A * patch)
         outs = []
         if n_main:
@@ -87,9 +96,12 @@ def make_scene_sr(model_apply, args, h0: int, w0: int,
             outs.append(o.reshape(rem + rem_pad,
                                   A * patch * S, A * patch * S)[:rem])
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-        out = out.reshape(g["numU"], g["numV"], A * patch * S, A * patch * S)
-        views = lf_integrate(out, A, patch * S, stride * S, h0 * S, w0 * S)
-        return views_4d_to_mosaic(views)
+        out = out.reshape(n_scenes, g["numU"], g["numV"],
+                          A * patch * S, A * patch * S)
+        views = jax.vmap(lambda o_: lf_integrate(
+            o_, A, patch * S, stride * S, h0 * S, w0 * S))(out)
+        mos = jax.vmap(views_4d_to_mosaic)(views)
+        return mos if n_scenes > 1 else mos[0]
 
     # Small-channel configs can hit XLA's scoped-VMEM ceiling on real TPUs:
     # inside the lax.map while body XLA stack-allocates a Pallas kernel's
@@ -126,25 +138,38 @@ class ScenePipelineCache:
     """
 
     def __init__(self, model_apply, args, eval_batch: Optional[int] = None,
-                 mesh=None, bucket: int = 0):
+                 mesh=None, bucket: int = 0, scene_batch: int = 1):
         self.model_apply = model_apply
         self.args = args
         self.eval_batch = eval_batch
         self.mesh = mesh
         self.bucket = bucket or 0
+        self.scene_batch = max(scene_batch, 1)
         self._cache = {}
 
-    def _pipeline(self, h0: int, w0: int):
-        if (h0, w0) not in self._cache:
-            self._cache[(h0, w0)] = make_scene_sr(
+    def _pipeline(self, h0: int, w0: int, n: int = 1):
+        if (h0, w0, n) not in self._cache:
+            self._cache[(h0, w0, n)] = make_scene_sr(
                 self.model_apply, self.args, h0, w0, self.eval_batch,
-                self.mesh)
-        return self._cache[(h0, w0)]
+                self.mesh, n_scenes=n)
+        return self._cache[(h0, w0, n)]
 
     def __call__(self, params, lr_mosaic: jnp.ndarray) -> jnp.ndarray:
-        H, W = lr_mosaic.shape
+        return self.run_batch(params, [lr_mosaic])[0]
+
+    def run_batch(self, params, lr_mosaics) -> list:
+        """SR a group of SAME-SHAPE scenes through one jit dispatch
+        (`make_scene_sr(n_scenes=N)`); returns one SR mosaic per input.
+        Composes with bucketing: each scene is extended to the bucket
+        geometry first (cheap device-side pads), so mixed-size groups
+        whose buckets agree still share the dispatch."""
         A = self.args.angRes
         S = self.args.scale_factor
+        n = len(lr_mosaics)
+        shapes = {tuple(m.shape) for m in lr_mosaics}
+        if len(shapes) != 1:
+            raise ValueError(f"run_batch needs same-shape scenes, got {shapes}")
+        H, W = lr_mosaics[0].shape
         h0, w0 = H // A, W // A
         patch = self.args.patch_size_for_test
         stride = self.args.stride_for_test
@@ -153,7 +178,11 @@ class ScenePipelineCache:
         # scene edge; content up to there must match the unbucketed tiling
         need = patch - bdr
         if not self.bucket:
-            return self._pipeline(h0, w0)(params, lr_mosaic)
+            pipe = self._pipeline(h0, w0, n)
+            if n == 1:
+                return [pipe(params, lr_mosaics[0])]
+            sr = pipe(params, jnp.stack(lr_mosaics))
+            return list(sr)
         if (patch - stride) % 2:
             # the base tiling itself truncates one output row/col per view
             # for odd patch-stride (reference utils/utils.py:141-157 has the
@@ -164,14 +193,28 @@ class ScenePipelineCache:
                 f"stride_for_test, got {patch} - {stride}")
         h0b = _bucketed_size(h0, need, self.bucket)
         w0b = _bucketed_size(w0, need, self.bucket)
-        views = lr_mosaic.reshape(A, h0, A, w0).transpose(0, 2, 1, 3)
-        ext = jnp.pad(views, [(0, 0), (0, 0), (0, bdr), (0, bdr)],
-                      mode="symmetric")
-        ext = jnp.pad(ext, [(0, 0), (0, 0), (0, h0b - h0 - bdr),
-                            (0, w0b - w0 - bdr)])
-        sr_b = self._pipeline(h0b, w0b)(params, views_4d_to_mosaic(ext))
-        sr_views = sr_b.reshape(A, h0b * S, A, w0b * S).transpose(0, 2, 1, 3)
-        return views_4d_to_mosaic(sr_views[:, :, :h0 * S, :w0 * S])
+
+        def ext_one(lr_mosaic):
+            views = lr_mosaic.reshape(A, h0, A, w0).transpose(0, 2, 1, 3)
+            ext = jnp.pad(views, [(0, 0), (0, 0), (0, bdr), (0, bdr)],
+                          mode="symmetric")
+            ext = jnp.pad(ext, [(0, 0), (0, 0), (0, h0b - h0 - bdr),
+                                (0, w0b - w0 - bdr)])
+            return views_4d_to_mosaic(ext)
+
+        pipe = self._pipeline(h0b, w0b, n)
+        if n == 1:
+            sr_bs = [pipe(params, ext_one(lr_mosaics[0]))]
+        else:
+            sr_bs = list(pipe(params, jnp.stack(
+                [ext_one(m) for m in lr_mosaics])))
+
+        def crop_one(sr_b):
+            sr_views = sr_b.reshape(A, h0b * S, A, w0b * S).transpose(
+                0, 2, 1, 3)
+            return views_4d_to_mosaic(sr_views[:, :, :h0 * S, :w0 * S])
+
+        return [crop_one(s) for s in sr_bs]
 
 
 def evaluate_dataset(model_apply, params, args, dataset, cache=None,
@@ -189,12 +232,31 @@ def evaluate_dataset(model_apply, params, args, dataset, cache=None,
     from lft_tpu.ops.metrics import cal_metrics
     cache = cache or ScenePipelineCache(model_apply, args)
     n = len(dataset)
+    sb = getattr(cache, "scene_batch", 1) or 1
 
     def load(i):
         lr, hr = dataset[i]
         return jnp.asarray(lr), jnp.asarray(hr)
 
     psnrs, ssims, per_scene = [], [], []
+    pending = []  # [(i, lr, hr)] same-shape group awaiting one dispatch
+
+    def flush():
+        if not pending:
+            return
+        srs = cache.run_batch(params, [lr for _, lr, _ in pending]) \
+            if hasattr(cache, "run_batch") else \
+            [cache(params, lr) for _, lr, _ in pending]
+        for (i, _, hr), sr in zip(pending, srs):
+            p, s = (metrics_fn or cal_metrics)(hr, sr, args.angRes)
+            p, s = float(p), float(s)
+            psnrs.append(p)
+            ssims.append(s)
+            name = (dataset.scene_name(i)
+                    if hasattr(dataset, "scene_name") else str(i))
+            per_scene.append((name, p, s))
+        pending.clear()
+
     ex = _fut.ThreadPoolExecutor(max_workers=1) if (prefetch and n > 1) \
         else None
     try:
@@ -203,14 +265,12 @@ def evaluate_dataset(model_apply, params, args, dataset, cache=None,
             lr, hr = nxt.result() if ex else load(i)
             if ex and i + 1 < n:
                 nxt = ex.submit(load, i + 1)
-            sr = cache(params, lr)
-            p, s = (metrics_fn or cal_metrics)(hr, sr, args.angRes)
-            p, s = float(p), float(s)
-            psnrs.append(p)
-            ssims.append(s)
-            name = (dataset.scene_name(i)
-                    if hasattr(dataset, "scene_name") else str(i))
-            per_scene.append((name, p, s))
+            if pending and pending[-1][1].shape != lr.shape:
+                flush()  # shape change ends the group early
+            pending.append((i, lr, hr))
+            if len(pending) >= sb:
+                flush()
+        flush()
     finally:
         if ex:
             # join the worker: shutdown(wait=False) would abandon an

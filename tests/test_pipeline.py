@@ -248,6 +248,55 @@ def test_bucketed_eval_matches_exact():
     assert len(exact._cache) == 2
 
 
+def test_scene_batched_eval_matches_per_scene(tmp_path):
+    """Scene batching (several same-geometry scenes per jit dispatch,
+    `make_scene_sr(n_scenes=N)` / `ScenePipelineCache(scene_batch=N)`)
+    must be output-identical to per-scene dispatches -- plain AND
+    composed with bucketing -- and `evaluate_dataset` must produce the
+    same rows through a batching cache."""
+    from lft_tpu.inference.tiled import evaluate_dataset
+    args = Args(angRes=5, scale_factor=2, channels=8,
+                patch_size_for_test=8, stride_for_test=4, eval_batch=4)
+    model = get_model(args)
+    params = model.init(jax.random.PRNGKey(0), args)
+    single = ScenePipelineCache(model.apply, args, eval_batch=4)
+    batched = ScenePipelineCache(model.apply, args, eval_batch=4,
+                                 scene_batch=3)
+    rng = np.random.RandomState(3)
+    scenes = [jnp.asarray(rng.rand(5 * 12, 5 * 12).astype(np.float32))
+              for _ in range(3)]
+    outs = batched.run_batch(params, scenes)
+    for sc, out in zip(scenes, outs):
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(single(params, sc)), atol=1e-6)
+    # composed with bucketing: two sizes, one bucket, one (batched) pipeline
+    b_single = ScenePipelineCache(model.apply, args, eval_batch=4, bucket=16)
+    b_batch = ScenePipelineCache(model.apply, args, eval_batch=4, bucket=16,
+                                 scene_batch=2)
+    pair = [jnp.asarray(rng.rand(5 * 10, 5 * 12).astype(np.float32))
+            for _ in range(2)]
+    for sc, out in zip(pair, b_batch.run_batch(params, pair)):
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(b_single(params, sc)),
+                                   atol=1e-6)
+    assert len(b_batch._cache) == 1
+    # evaluate_dataset through a batching cache: same rows, same order
+    paths = make_synth_data(str(tmp_path), ang_res=5, scale=2, n_train=0,
+                            n_test=3, test_hw=16, seed=9)
+    eargs = Args(angRes=5, scale_factor=2, channels=8, eval_batch=4,
+                 patch_size_for_test=8, stride_for_test=4,
+                 path_for_test=paths["path_for_test"],
+                 data_name=paths["data_name"])
+    _, sets, _ = multi_test_sets(eargs)
+    emodel = get_model(eargs)
+    eparams = emodel.init(jax.random.PRNGKey(0), eargs)
+    base = evaluate_dataset(emodel.apply, eparams, eargs, sets[0])
+    via_batch = evaluate_dataset(
+        emodel.apply, eparams, eargs, sets[0],
+        cache=ScenePipelineCache(emodel.apply, eargs, scene_batch=2))
+    assert base[2] == via_batch[2]
+
+
 def test_evaluate_dataset_prefetch_parity(tmp_path):
     """Double-buffered scene prefetch (background-thread load + H2D,
     inference/tiled.py) must not change evaluation results or order."""
