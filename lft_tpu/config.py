@@ -60,7 +60,13 @@ class Args:
     eval_batch: int = 16              # patches per device batch in tiled eval
     eval_bucket: int = 0              # round scene sizes up to this LR-pixel
                                       # quantum: O(buckets) compiles, same output
+    scene_batch: int = 1              # same-shape scenes per eval jit dispatch
+                                      # (amortizes dispatch overhead; output-
+                                      # identical to per-scene dispatch)
     num_devices: Optional[int] = None  # data-parallel devices (None = all)
+    coordinator: str = ""             # multi-host: coordinator host:port
+    num_processes: int = 1            # multi-host: total process count
+    process_id: int = 0               # multi-host: this process's index
     ckpt_format: str = "npz"          # npz | pth
     lr_schedule: str = "step"         # step (reference StepLR) | cosine
     profile_dir: str = ""             # if set, write a jax profiler trace
@@ -118,7 +124,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pad scene geometry to multiples of this many LR "
                         "pixels so a multi-dataset sweep compiles once per "
                         "bucket (0 = exact sizes); outputs are identical")
+    p.add_argument("--scene_batch", type=int, default=d.scene_batch,
+                   help="same-shape scenes SR'd per jit dispatch in eval "
+                        "(amortizes per-dispatch overhead on tunneled or "
+                        "small-scene workloads; outputs are identical)")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--coordinator", type=str, default=d.coordinator,
+                   help="multi-host training: coordination-service address "
+                        "host:port (jax.distributed.initialize); every "
+                        "process passes the same address")
+    p.add_argument("--num_processes", type=int, default=d.num_processes,
+                   help="multi-host training: total number of processes")
+    p.add_argument("--process_id", type=int, default=d.process_id,
+                   help="multi-host training: this process's index")
     p.add_argument("--ckpt_format", type=str, default=d.ckpt_format,
                    choices=["npz", "pth"])
     p.add_argument("--lr_schedule", type=str, default=d.lr_schedule,

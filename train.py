@@ -16,6 +16,12 @@ def main(args):
     import jax
     from lft_tpu.config import apply_platform
     apply_platform(args)
+    from lft_tpu.parallel.distributed import maybe_initialize
+    multihost = maybe_initialize(args)   # before anything touches devices
+    if multihost:
+        # reuse the reference's (vestigial) local_rank as the "who writes
+        # checkpoints" gate -- trainer.fit saves only at local_rank == 0
+        args.local_rank = args.process_id
     from lft_tpu.utils.logging import Logger, create_dir
     from lft_tpu.training.trainer import fit
     from lft_tpu.data.datasets import TrainDataset
@@ -33,7 +39,7 @@ def main(args):
 
     step_builder = None
     put_batch = None
-    ndev = args.num_devices or 1
+    ndev = args.num_devices or (len(jax.devices()) if multihost else 1)
     if ndev > 1:
         from lft_tpu.parallel.mesh import get_mesh, make_dp_step_builder, put_global_batch
         if args.batch_size % ndev:
@@ -42,7 +48,11 @@ def main(args):
         mesh = get_mesh(ndev)
         logger.log_string(f"Data-parallel over mesh {mesh}")
         step_builder = make_dp_step_builder(mesh)
-        put_batch = lambda d, l: put_global_batch(mesh, d, l)  # noqa: E731
+        if multihost:
+            from lft_tpu.parallel.distributed import make_distributed_put_batch
+            put_batch = make_distributed_put_batch(mesh, args)
+        else:
+            put_batch = lambda d, l: put_global_batch(mesh, d, l)  # noqa: E731
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
