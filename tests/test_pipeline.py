@@ -266,6 +266,7 @@ def test_multihost_training_matches_single_process(tmp_path):
             np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow  # ~109 s: two full pipeline compiles x two scene sizes
 def test_bucketed_eval_matches_exact():
     """Scene-size bucketing must change compile count, not outputs
     (SURVEY.md §7 hard-part (d); VERDICT.md round-1 #8). Two scene sizes in
@@ -286,6 +287,7 @@ def test_bucketed_eval_matches_exact():
     assert len(exact._cache) == 2
 
 
+@pytest.mark.slow  # ~62 s: batched + bucketed + dataset-eval pipeline compiles
 def test_scene_batched_eval_matches_per_scene(tmp_path):
     """Scene batching (several same-geometry scenes per jit dispatch,
     `make_scene_sr(n_scenes=N)` / `ScenePipelineCache(scene_batch=N)`)
