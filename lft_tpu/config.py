@@ -71,6 +71,7 @@ class Args:
     lr_schedule: str = "step"         # step (reference StepLR) | cosine
     profile_dir: str = ""             # if set, write a jax profiler trace
     log_every: int = 0                # extra per-step logging (0 = per epoch)
+    compile_cache_dir: str = ""       # persistent XLA compilation cache dir
 
     # Mutable runtime state the reference stores on args (train.py:116).
     temperature: float = 1.0
@@ -145,16 +146,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "cosine decay over --epoch")
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--log_every", type=int, default=d.log_every)
+    p.add_argument("--compile_cache_dir", type=str, default=d.compile_cache_dir,
+                   help="persistent XLA compilation-cache directory: the "
+                        "full-model compiles (~20-40 s each on TPU) are "
+                        "reused across process restarts instead of redone")
     return p
 
 
 def apply_platform(args: Args) -> None:
     """Apply `--platform` before any jax backend initialization. (Plain
     env-var overrides can be clobbered by site hooks; the config update is
-    authoritative.)"""
+    authoritative.) Also wires `--compile_cache_dir`: with a persistent
+    compilation cache, a restarted run (resume, eval-after-train, the next
+    epoch's new scene geometry) loads its XLA executables from disk instead
+    of recompiling -- first compiles of the full model cost ~20-40 s on TPU."""
+    import jax
     if args.platform and args.platform != "auto":
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "compile_cache_dir", ""):
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache_dir)
+        # cache every entry: the model compiles we care about are seconds
+        # long, but don't let the default 1 MiB / 1 s floors skip any
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def parse_args(argv=None) -> Args:

@@ -108,3 +108,33 @@ def test_cal_loss_class_matches_reference_semantics():
     loss_ref /= B
     ours = float(cal_loss_class(jnp.asarray(prob)))
     assert abs(ours - loss_ref) < 1e-5
+
+
+def test_compile_cache_dir_flag(tmp_path):
+    """`--compile_cache_dir` must wire jax's persistent compilation cache:
+    a first run populates the directory and a re-run (fresh process, same
+    program) produces the identical result from the cached executables."""
+    cache = str(tmp_path / "xla_cache")
+    script = (
+        "import sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from lft_tpu.config import Args, apply_platform\n"
+        "args = Args(platform='cpu', compile_cache_dir=%r,\n"
+        "            channels=8, scale_factor=2, angRes=5)\n"
+        "apply_platform(args)\n"
+        "import jax, numpy as np\n"
+        "from lft_tpu.registry import get_model\n"
+        "model = get_model(args)\n"
+        "params = model.init(jax.random.PRNGKey(0), args)\n"
+        "x = np.random.RandomState(0).rand(1, 1, 40, 40).astype('float32')\n"
+        "sr = jax.jit(lambda p, x: model.apply(p, x, args))(params, x)\n"
+        "print(float(np.asarray(sr).sum()))\n"
+    ) % (os.path.join(os.path.dirname(__file__), ".."), cache)
+    outs = []
+    for _ in range(2):
+        p = subprocess.run([sys.executable, "-c", script],
+                           capture_output=True, text=True, timeout=300)
+        assert p.returncode == 0, p.stderr
+        outs.append(p.stdout.strip().splitlines()[-1])
+        assert os.listdir(cache), "cache directory must be populated"
+    assert outs[0] == outs[1]
