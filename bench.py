@@ -72,6 +72,10 @@ def main():
     ap.add_argument("--train_batch", type=int, default=8)
     ap.add_argument("--train_scale", type=int, default=2)
     ap.add_argument("--train_patch", type=int, default=32, help="LR patch")
+    ap.add_argument("--train_remat", type=lambda s: s.lower() not in
+                    ("false", "0", "no"), default=True,
+                    help="block rematerialization in the train step "
+                         "(False = fewer backward FLOPs, more HBM)")
     ns = ap.parse_args()
 
     if not _probe_device():
@@ -147,7 +151,7 @@ def main():
         from lft_tpu.training.trainer import make_train_step
         targs = Args(angRes=5, scale_factor=ns.train_scale, channels=64,
                      batch_size=ns.train_batch, dtype=ns.dtype,
-                     attention_impl=ns.impl)
+                     attention_impl=ns.impl, train_remat=ns.train_remat)
         tmodel = get_model(targs)
         tparams = tmodel.init(jax.random.PRNGKey(0), targs)
         optimizer = make_optimizer(targs, steps_per_epoch=100)

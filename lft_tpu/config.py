@@ -72,6 +72,9 @@ class Args:
     profile_dir: str = ""             # if set, write a jax profiler trace
     log_every: int = 0                # extra per-step logging (0 = per epoch)
     compile_cache_dir: str = ""       # persistent XLA compilation cache dir
+    train_remat: bool = True          # checkpoint AltFilter blocks in training
+                                      # (False trades HBM for fewer backward
+                                      # FLOPs; safe with the Pallas kernels)
 
     # Mutable runtime state the reference stores on args (train.py:116).
     temperature: float = 1.0
@@ -150,6 +153,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persistent XLA compilation-cache directory: the "
                         "full-model compiles (~20-40 s each on TPU) are "
                         "reused across process restarts instead of redone")
+    p.add_argument("--train_remat", type=lambda s: s.lower() not in
+                   ("false", "0", "no"), default=d.train_remat,
+                   help="checkpoint each AltFilter block in the train step "
+                        "(False = keep activations, fewer backward FLOPs; "
+                        "fine with the Pallas kernels' compact residuals)")
     return p
 
 

@@ -52,10 +52,17 @@ def make_train_step(model, optimizer, args, with_metrics: bool = True) -> Callab
     """Single-device jitted step:
     (params, opt_state, data, label) -> (params, opt_state, aux dict)."""
 
+    # remat=True (default) checkpoints each AltFilter block -- required with
+    # the XLA attention impls whose saved score activations OOM HBM. The
+    # Pallas custom-VJP kernels save only (q, k, v, m, l), so
+    # `--train_remat False` can skip the block-level forward recompute in
+    # backward; A/B it per config (lft.forward's remat note).
+    remat = getattr(args, "train_remat", True)
+
     def loss_fn(params, data, label):
         # the fused Pallas kernels carry custom VJPs, so every impl
         # (incl. 'auto' -> pallas on TPU) is trainable
-        sr = model.apply(params, data, args)
+        sr = model.apply(params, data, args, remat=remat)
         return model.loss(sr, label), sr
 
     def step(params, opt_state, data, label):

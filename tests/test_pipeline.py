@@ -433,3 +433,29 @@ def test_cosine_schedule_flag():
     assert float(sched(100)) < 1e-8
     args = Args(lr_schedule="cosine", epoch=10)
     make_optimizer(args, steps_per_epoch=10)  # constructs without error
+
+
+def test_train_step_remat_flag_parity():
+    """`--train_remat False` must change memory/FLOP strategy only, never
+    the math: one step with and without block rematerialization produces
+    the same updated params (remat recompute is exact)."""
+    from lft_tpu.data.device_synth import synth_batch
+    from lft_tpu.training.optim import make_optimizer
+    from lft_tpu.training.trainer import make_train_step
+    lr_b, hr_b = synth_batch(jax.random.PRNGKey(1), batch=2, ang_res=5,
+                             patch=8, scale=2)
+    outs = {}
+    for remat in (True, False):
+        args = Args(angRes=5, scale_factor=2, channels=8, batch_size=2,
+                    train_remat=remat)
+        model = get_model(args)
+        params = model.init(jax.random.PRNGKey(0), args)
+        optimizer = make_optimizer(args, steps_per_epoch=10)
+        opt_state = optimizer.init(params)
+        step = make_train_step(model, optimizer, args, with_metrics=False)
+        new_params, _, aux = step(params, opt_state, lr_b, hr_b)
+        outs[remat] = (jax.device_get(new_params), float(aux["loss"]))
+    assert abs(outs[True][1] - outs[False][1]) < 1e-6
+    for k in outs[True][0]:
+        np.testing.assert_allclose(outs[True][0][k], outs[False][0][k],
+                                   atol=2e-6, err_msg=k)
