@@ -381,6 +381,17 @@ def test_sharded_eval_matches_unsharded():
     assert sr_single.shape == sr_sharded.shape == (5 * 32, 5 * 32)
     np.testing.assert_allclose(sr_sharded, sr_single, atol=2e-6)
 
+    # scene batching composes with the sharded patch axis: two scenes per
+    # dispatch over the same 8-device mesh, still output-identical
+    scene2 = jnp.asarray(np.stack([np.asarray(scene),
+                                   np.asarray(scene)[::-1, ::-1].copy()]))
+    sr_b = np.asarray(make_scene_sr(model.apply, args, 16, 16, mesh=mesh,
+                                    n_scenes=2)(params, scene2))
+    np.testing.assert_allclose(sr_b[0], sr_single, atol=2e-6)
+    sr_flip = np.asarray(
+        make_scene_sr(model.apply, args, 16, 16)(params, scene2[1]))
+    np.testing.assert_allclose(sr_b[1], sr_flip, atol=2e-6)
+
 
 # ------------------------------------------------------------------- CLI ---
 
