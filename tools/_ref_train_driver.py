@@ -53,21 +53,35 @@ def main():
 
     batches = np.load(batches_path)
     data_all, label_all = batches["data"], batches["label"]
+    grad_mask = (torch.from_numpy(batches["grad_mask"])
+                 if "grad_mask" in batches else None)
     losses = []
     grads0 = {}
     for i in range(data_all.shape[0]):
         data = torch.from_numpy(data_all[i])
         label = torch.from_numpy(label_all[i])
+        if i == 0:
+            # First-step gradient probe: the most sensitive parity check
+            # (Adam's step-1 update is ~sign(g), so post-step params alone
+            # would hide gradient-magnitude disagreements). When the
+            # harness supplies `grad_mask`, the probe backward uses the
+            # identical ambiguity-masked L1 (elements at the |sr-hr| kink
+            # excluded on BOTH sides -- their L1 signs are not
+            # well-defined across implementations); the actual training
+            # step below still uses the true reference loss.
+            out_p = net(data)
+            if grad_mask is not None:
+                probe_loss = ((out_p - label).abs() * grad_mask).mean()
+            else:
+                probe_loss = criterion(out_p, label)
+            optimizer.zero_grad()
+            probe_loss.backward()
+            grads0 = {f"grad.{n}": p.grad.detach().numpy().copy()
+                      for n, p in net.named_parameters() if p.grad is not None}
         out = net(data)
         loss = criterion(out, label)
         optimizer.zero_grad()
         loss.backward()
-        if i == 0:
-            # first-step raw gradients: the most sensitive parity probe
-            # (Adam's step-1 update is ~sign(g), so post-step params alone
-            # would hide gradient-magnitude disagreements)
-            grads0 = {f"grad.{n}": p.grad.detach().numpy().copy()
-                      for n, p in net.named_parameters() if p.grad is not None}
         optimizer.step()
         losses.append(float(loss.item()))
 
