@@ -446,6 +446,7 @@ def test_cosine_schedule_flag():
     make_optimizer(args, steps_per_epoch=10)  # constructs without error
 
 
+@pytest.mark.slow  # ~55 s: two full train-step compiles
 def test_train_step_remat_flag_parity():
     """`--train_remat False` must change memory/FLOP strategy only, never
     the math: one step with and without block rematerialization produces
