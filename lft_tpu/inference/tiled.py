@@ -63,13 +63,20 @@ def make_scene_sr(model_apply, args, h0: int, w0: int,
         patch_sh = NamedSharding(mesh, P("dp"))
         rep = NamedSharding(mesh, P())
 
-    # inference never needs rematerialization; see lft.forward's remat note
+    # inference never needs rematerialization (see lft.forward's remat
+    # note) and, on real TPUs, runs each SpaTrans block as one fused
+    # Pallas kernel (kernels/spa_block.py -- inference-only, no VJP)
     import inspect
     try:
         sig = inspect.signature(model_apply)
-        no_remat = {"remat": False} if ("remat" in sig.parameters or any(
-            p.kind is inspect.Parameter.VAR_KEYWORD
-            for p in sig.parameters.values())) else {}
+        has_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                     for p in sig.parameters.values())
+        no_remat = {}
+        if "remat" in sig.parameters or has_kw:
+            no_remat["remat"] = False
+        if ("fused" in sig.parameters or has_kw) \
+                and jax.devices()[0].platform == "tpu":
+            no_remat["fused"] = True
     except (TypeError, ValueError):
         no_remat = {}
 

@@ -193,11 +193,23 @@ def _ang_trans(x: jnp.ndarray, p: Dict[str, jnp.ndarray], prefix: str,
 
 
 def _spa_trans(x: jnp.ndarray, p: Dict[str, jnp.ndarray], prefix: str,
-               spa_pe: jnp.ndarray, impl: str) -> jnp.ndarray:
+               spa_pe: jnp.ndarray, impl: str,
+               fused: bool = False) -> jnp.ndarray:
     """Spatial transformer over [B, A2, h, w, C]
-    (reference model/LFT.py:118-191)."""
+    (reference model/LFT.py:118-191).
+
+    `fused=True` (inference-only; no VJP) runs the whole block -- unfold
+    conv, PE add, LayerNorm, projections, windowed attention, residuals,
+    FFN, Token2SAI -- as ONE Pallas kernel (kernels/spa_block.py)."""
     B, A2, h, w, C = x.shape
     img = x.reshape(B * A2, h, w, C)
+    if fused:
+        from lft_tpu.kernels.spa_block import spa_trans_block_fused
+        pe_tok = unfold3x3_linear(spa_pe[None].astype(img.dtype),
+                                  p[prefix + "MLP.weight"])[0]
+        out = spa_trans_block_fused(img, pe_tok, p, prefix,
+                                    NUM_HEADS, KERNEL_SEARCH)
+        return out.reshape(B, A2, h, w, C)
     tok = unfold3x3_linear(img, p[prefix + "MLP.weight"])        # [B*A2, h, w, 2C]
     pe_tok = unfold3x3_linear(spa_pe[None].astype(img.dtype),
                               p[prefix + "MLP.weight"])           # [1, h, w, 2C]
@@ -226,7 +238,7 @@ def _pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
 
 def forward(params: Dict[str, jnp.ndarray], lr: jnp.ndarray, args,
             attention_impl: str = None, dtype=None,
-            remat: bool = True) -> jnp.ndarray:
+            remat: bool = True, fused: bool = False) -> jnp.ndarray:
     """SR forward: lr [B, 1, A*h, A*w] (NCHW, like the reference) ->
     [B, 1, A*h*S, A*w*S]. Pure and jit/vmap/shard_map-friendly; all shape-
     dependent state (PEs, masks, resize matrices) is static at trace time.
@@ -235,7 +247,12 @@ def forward(params: Dict[str, jnp.ndarray], lr: jnp.ndarray, args,
     Inference passes remat=False: besides being useless without a backward,
     a checkpoint region inside the tiled pipeline's `lax.map` makes XLA
     stack-allocate the attention kernels' outputs in scoped VMEM, which
-    overflows the 16 MB budget for small-channel configs on real TPUs."""
+    overflows the 16 MB budget for small-channel configs on real TPUs.
+
+    `fused=True` (inference-only: no VJP -- never differentiate through
+    it) runs each whole SpaTrans block as one Pallas kernel
+    (kernels/spa_block.py) where the geometry allows; the tiled-inference
+    pipeline enables it on real TPUs."""
     A = args.angRes
     S = args.scale_factor
     C = args.channels
@@ -246,11 +263,13 @@ def forward(params: Dict[str, jnp.ndarray], lr: jnp.ndarray, args,
         # trace the whole forward under the requested matmul precision
         # ('highest' => f32-exact parity mode; 'default' inherits ambient)
         with jax.default_matmul_precision(prec):
-            return _forward_body(params, lr, args, impl, compute_dtype, remat)
-    return _forward_body(params, lr, args, impl, compute_dtype, remat)
+            return _forward_body(params, lr, args, impl, compute_dtype,
+                                 remat, fused)
+    return _forward_body(params, lr, args, impl, compute_dtype, remat, fused)
 
 
-def _forward_body(params, lr, args, impl, compute_dtype, remat=True):
+def _forward_body(params, lr, args, impl, compute_dtype, remat=True,
+                  fused=False):
     A = args.angRes
     S = args.scale_factor
     C = args.channels
@@ -281,9 +300,14 @@ def _forward_body(params, lr, args, impl, compute_dtype, remat=True):
     buf = buf.reshape(B, A * A, h, w, C)
     res = buf
 
+    if fused:
+        from lft_tpu.kernels.spa_block import spa_block_applicable
+        fused = spa_block_applicable(h, w, 2 * C, NUM_HEADS, KERNEL_SEARCH)
+
     def _alt_block(buf, p, prefix_i):
         buf = _ang_trans(buf, p, f"altblock.{prefix_i}.ang_trans.", ang_pe, impl)
-        buf = _spa_trans(buf, p, f"altblock.{prefix_i}.spa_trans.", spa_pe, impl)
+        buf = _spa_trans(buf, p, f"altblock.{prefix_i}.spa_trans.", spa_pe,
+                         impl, fused=fused)
         return buf
 
     for i in range(LAYER_NUM):                                        # 4x AltFilter

@@ -303,3 +303,36 @@ def test_model_grad_pallas_matches_tiled():
         scale = float(jnp.max(jnp.abs(g1[k]))) + 1e-9
         diff = float(jnp.max(jnp.abs(g1[k] - g2[k])))
         assert diff / scale < 5e-4, (k, diff, scale)
+
+
+def test_spa_block_fused_matches_unfused():
+    """The fused whole-SpaTrans-block kernel (kernels/spa_block.py) vs the
+    unfused XLA path on identical inputs/params."""
+    import lft_tpu.models.lft as lft_mod
+    from lft_tpu.config import Args
+    from lft_tpu.ops.posenc import spatial_position
+    args = Args(angRes=5, scale_factor=2, channels=64, model_name="LFT")
+    params = lft_mod.init_params(jax.random.PRNGKey(0), args)
+    C, h, w, B = 64, 16, 16, 3   # B=3 exercises the view-pad drop
+    prefix = "altblock.1.spa_trans."
+    x = _rand((1, B, h, w, C), 60)
+    spa_pe = jnp.asarray(spatial_position(h, w, C))
+    ref = lft_mod._spa_trans(x, params, prefix, spa_pe, "tiled")
+    got = lft_mod._spa_trans(x, params, prefix, spa_pe, "tiled", fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_forward_fused_matches_unfused():
+    """forward(fused=True) -- the tiled-inference configuration on real
+    TPUs -- must equal the plain forward."""
+    import lft_tpu.models.lft as lft_mod
+    from lft_tpu.config import Args
+    args = Args(angRes=5, scale_factor=2, channels=64, model_name="LFT")
+    params = lft_mod.init_params(jax.random.PRNGKey(1), args)
+    lr = _rand((1, 1, 5 * 16, 5 * 16), 61) + 0.5
+    ref = lft_mod.forward(params, lr, args, remat=False)
+    got = lft_mod.forward(params, lr, args, remat=False, fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
