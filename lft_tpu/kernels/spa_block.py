@@ -179,17 +179,24 @@ def spa_block_applicable(h: int, w: int, D: int, num_heads: int,
 
 
 def spa_trans_block_fused(x, pe_tok, params, prefix, num_heads: int,
-                          k: int):
-    """Run the whole SpaTrans block on [B, h, w, C] view images.
+                          k: int, pixel_major: bool = False):
+    """Run the whole SpaTrans block on view images.
 
-    x:      [B, h, w, C] the block's input views (folded batch*A2);
+    x:      [B, h, w, C] view images (folded batch*A2), or with
+            `pixel_major=True` a [Bb, h, w, A2, C] pixel-major buffer --
+            each (batch, view) plane is DMA-gathered straight out of the
+            strided layout (squeezed BlockSpec dim), so the fused
+            pixel-major forward never materializes a view-major transpose;
     pe_tok: [h, w, D] the PE passed through unfold+MLP (computed outside,
             it is view-independent);
     params/prefix: the flat param dict and `altblock.{i}.spa_trans.`.
-    Returns [B, h, w, C]. Inference-only -- there is no VJP; callers must
-    not differentiate through this.
+    Returns the same shape as `x`. Inference-only -- there is no VJP;
+    callers must not differentiate through this.
     """
-    B, h, w, C = x.shape
+    if pixel_major:
+        Bb, h, w, A2, C = x.shape
+    else:
+        B, h, w, C = x.shape
     r = k // 2
     mlp_w = params[prefix + "MLP.weight"]                   # [D, C*9]
     D = mlp_w.shape[0]
@@ -220,37 +227,60 @@ def spa_trans_block_fused(x, pe_tok, params, prefix, num_heads: int,
     hm = hm.astype(io)
 
     V = _views_per_step(n_tiles)
-    pad_b = (-B) % V
-    x_p = jnp.pad(x, [(0, pad_b), (0, 0), (0, 0), (0, 0)]) if pad_b else x
-    Bp = B + pad_b
-
-    full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+    interpret = jax.devices()[0].platform != "tpu"
+    full = lambda a, b: pl.BlockSpec((a, b), lambda *i: (0, 0),
                                      memory_space=pltpu.VMEM)
-    img = lambda ch: pl.BlockSpec((V, h, w, ch), lambda i: (i, 0, 0, 0),
-                                  memory_space=pltpu.VMEM)
-    pespec = pl.BlockSpec((h, w, D), lambda i: (0, 0, 0),
+    pespec = pl.BlockSpec((h, w, D), lambda *i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
-    wuspec = pl.BlockSpec((9, C, D), lambda i: (0, 0, 0),
+    wuspec = pl.BlockSpec((9, C, D), lambda *i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    npspec = pl.BlockSpec((n_tiles, nq, num_heads), lambda *i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, h=h, w=w, th=th, tw=tw, r=r, KB=KB,
                                num_heads=num_heads)
-    interpret = jax.devices()[0].platform != "tpu"
+    scratch = [pltpu.VMEM((h + 2, w + 2, C), io),
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),
+               pltpu.VMEM((h, w, D), io)]
+    wts = (mask, npad, segt, hm, ln, pe_tok.astype(io), wu.astype(io),
+           wqk.astype(io), wv_t.astype(io), wo_t.astype(io),
+           w1_t.astype(io), w2_t.astype(io), wlin_t.astype(io))
+    wspecs = [full(nq, num_heads * KB), npspec,
+              full(num_heads * KB, num_heads),
+              full(num_heads, D), full(4, D), pespec, wuspec,
+              full(D, 2 * D), full(D, D), full(D, D),
+              full(D, 2 * D), full(2 * D, D), full(D, C)]
+
+    if pixel_major:
+        # [Bb, h, w, A2, C]: 2-D grid (batch-chunks x views); each step
+        # DMA-gathers V same-view planes via the squeezed A2 dim, so the
+        # strided pixel-major layout never round-trips through a
+        # view-major transpose in HBM
+        pad_b = (-Bb) % V
+        x_p = jnp.pad(x, [(0, pad_b)] + [(0, 0)] * 4) if pad_b else x
+        Bbp = Bb + pad_b
+        img_pm = lambda ch: pl.BlockSpec(
+            (V, h, w, None, ch), lambda i, j: (i, 0, 0, j, 0),
+            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel, interpret=interpret, grid=(Bbp // V, A2),
+            in_specs=wspecs + [img_pm(C)],
+            out_specs=img_pm(C),
+            out_shape=jax.ShapeDtypeStruct((Bbp, h, w, A2, C), io),
+            scratch_shapes=scratch,
+        )(*wts, x_p)
+        return out[:Bb]
+
+    pad_b = (-B) % V
+    x_p = jnp.pad(x, [(0, pad_b), (0, 0), (0, 0), (0, 0)]) if pad_b else x
+    Bp = B + pad_b
+    img = lambda ch: pl.BlockSpec((V, h, w, ch), lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel, interpret=interpret, grid=(Bp // V,),
-        in_specs=[full(nq, num_heads * KB),
-                  pl.BlockSpec((n_tiles, nq, num_heads), lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  full(num_heads * KB, num_heads),
-                  full(num_heads, D), full(4, D), pespec, wuspec,
-                  full(D, 2 * D), full(D, D), full(D, D),
-                  full(D, 2 * D), full(2 * D, D), full(D, C), img(C)],
+        in_specs=wspecs + [img(C)],
         out_specs=img(C),
         out_shape=jax.ShapeDtypeStruct((Bp, h, w, C), io),
-        scratch_shapes=[pltpu.VMEM((h + 2, w + 2, C), io),
-                        pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),
-                        pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),
-                        pltpu.VMEM((h, w, D), io)],
-    )(mask, npad, segt, hm, ln, pe_tok.astype(io), wu.astype(io),
-      wqk.astype(io), wv_t.astype(io), wo_t.astype(io), w1_t.astype(io),
-      w2_t.astype(io), wlin_t.astype(io), x_p)
+        scratch_shapes=scratch,
+    )(*wts, x_p)
     return out[:B]

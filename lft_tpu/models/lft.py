@@ -301,29 +301,59 @@ def _forward_body(params, lr, args, impl, compute_dtype, remat=True,
     res = buf
 
     if fused:
+        from lft_tpu.kernels.ang_block import ang_block_applicable
         from lft_tpu.kernels.spa_block import spa_block_applicable
-        fused = spa_block_applicable(h, w, 2 * C, NUM_HEADS, KERNEL_SEARCH)
+        fused = (spa_block_applicable(h, w, 2 * C, NUM_HEADS, KERNEL_SEARCH)
+                 and ang_block_applicable(A * A))
 
-    def _alt_block(buf, p, prefix_i):
-        buf = _ang_trans(buf, p, f"altblock.{prefix_i}.ang_trans.", ang_pe, impl)
-        buf = _spa_trans(buf, p, f"altblock.{prefix_i}.spa_trans.", spa_pe,
-                         impl, fused=fused)
-        return buf
+    if fused:
+        # inference fast path: both transformer halves of every AltFilter
+        # run as single Pallas kernels. The angular kernel consumes
+        # pixel-major [N, A2, C] tokens (its pixel groups are contiguous
+        # rows there); the surrounding transposes are the SAME two the
+        # unfused _ang_trans pays, so this strictly removes the XLA-side
+        # LayerNorm/projection/pack/FFN passes.
+        from lft_tpu.kernels.ang_block import ang_trans_block_fused
+        from lft_tpu.kernels.spa_block import spa_trans_block_fused
+        for i in range(LAYER_NUM):
+            t = buf.transpose(0, 2, 3, 1, 4)         # [B, h, w, A2, C]
+            t = ang_trans_block_fused(
+                t.reshape(B * h * w, A * A, C), ang_pe, p,
+                f"altblock.{i}.ang_trans.", NUM_HEADS)
+            t = t.reshape(B, h, w, A * A, C).transpose(0, 3, 1, 2, 4)
+            s_pref = f"altblock.{i}.spa_trans."
+            pe_tok = unfold3x3_linear(spa_pe[None].astype(compute_dtype),
+                                      p[s_pref + "MLP.weight"])[0]
+            out = spa_trans_block_fused(
+                t.reshape(B * A * A, h, w, C), pe_tok, p, s_pref,
+                NUM_HEADS, KERNEL_SEARCH)
+            buf = out.reshape(B, A * A, h, w, C)
+        buf = buf + res                              # model/LFT.py:76
+        # views -> mosaic (reference model/LFT.py:79)
+        m = buf.reshape(B, A, A, h, w, C).transpose(0, 1, 3, 2, 4, 5)
+        m = m.reshape(B, A * h, A * w, C)
+    else:
+        def _alt_block(buf, p, prefix_i):
+            buf = _ang_trans(buf, p, f"altblock.{prefix_i}.ang_trans.",
+                             ang_pe, impl)
+            buf = _spa_trans(buf, p, f"altblock.{prefix_i}.spa_trans.",
+                             spa_pe, impl)
+            return buf
 
-    for i in range(LAYER_NUM):                                        # 4x AltFilter
-        # remat each block: with XLA attention the saved [.., 64, 144] /
-        # [.., 25, 25] score activations of 4 blocks OOM HBM at the
-        # reference's training batch sizes; recomputing them in backward
-        # costs far less than it saves (SURVEY-scale model, cheap forward)
-        blk = functools.partial(_alt_block, prefix_i=i)
-        if remat:
-            blk = jax.checkpoint(blk)
-        buf = blk(buf, p)
-    buf = buf + res                                                   # model/LFT.py:76
+        for i in range(LAYER_NUM):                                    # 4x AltFilter
+            # remat each block: with XLA attention the saved [.., 64, 144] /
+            # [.., 25, 25] score activations of 4 blocks OOM HBM at the
+            # reference's training batch sizes; recomputing them in backward
+            # costs far less than it saves (SURVEY-scale model, cheap forward)
+            blk = functools.partial(_alt_block, prefix_i=i)
+            if remat:
+                blk = jax.checkpoint(blk)
+            buf = blk(buf, p)
+        buf = buf + res                                               # model/LFT.py:76
 
-    # views -> mosaic (reference model/LFT.py:79)
-    m = buf.reshape(B, A, A, h, w, C).transpose(0, 1, 3, 2, 4, 5)
-    m = m.reshape(B, A * h, A * w, C)
+        # views -> mosaic (reference model/LFT.py:79)
+        m = buf.reshape(B, A, A, h, w, C).transpose(0, 1, 3, 2, 4, 5)
+        m = m.reshape(B, A * h, A * w, C)
 
     # upsampling head (reference model/LFT.py:39-44, 80): 1x1 conv -> pixel
     # shuffle -> LeakyReLU -> mosaic-level 3x3 conv (crosses view borders).

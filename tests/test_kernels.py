@@ -336,3 +336,24 @@ def test_forward_fused_matches_unfused():
     got = lft_mod.forward(params, lr, args, remat=False, fused=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_ang_block_fused_matches_unfused():
+    """The fused whole-AngTrans-block kernel (kernels/ang_block.py) vs the
+    unfused XLA path on identical inputs/params."""
+    import lft_tpu.models.lft as lft_mod
+    from lft_tpu.config import Args
+    from lft_tpu.kernels.ang_block import ang_trans_block_fused
+    from lft_tpu.ops.posenc import angular_position
+    args = Args(angRes=5, scale_factor=2, channels=64, model_name="LFT")
+    params = lft_mod.init_params(jax.random.PRNGKey(2), args)
+    C, h, w, B, A2 = 64, 8, 8, 2, 25
+    prefix = "altblock.2.ang_trans."
+    x = _rand((B, A2, h, w, C), 70)
+    ang_pe = jnp.asarray(angular_position(A2, C))
+    ref = lft_mod._ang_trans(x, params, prefix, ang_pe, impl="xla")
+    toks = x.transpose(0, 2, 3, 1, 4).reshape(B * h * w, A2, C)
+    got = ang_trans_block_fused(toks, ang_pe, params, prefix, 8)
+    got = got.reshape(B, h, w, A2, C).transpose(0, 3, 1, 2, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
