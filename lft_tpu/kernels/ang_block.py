@@ -133,9 +133,19 @@ def ang_trans_block_fused(x, ang_pe, params, prefix, num_heads: int):
     params/prefix: flat param dict and `altblock.{i}.ang_trans.`.
     Returns [N, A2, C]. Inference-only -- no VJP."""
     N, A2, C = x.shape
-    G = max(BLK // A2, 1)
-    rows = G * A2
     GPS = _gps()
+    # Prefer a group size whose G*GPS divides N: the jnp.pad + [:N] slice
+    # a ragged tail needs are FULL HBM copies of the token tensor (~13 ms
+    # per 128^2 scene measured). MACs per pixel are G-independent
+    # (rows * H*BLK * C / G = A2 * H*BLK * C), so a smaller divisible G
+    # costs only a few percent more grid steps.
+    G_max = max(BLK // A2, 1)
+    G = G_max
+    for g in range(G_max, 0, -1):
+        if N % (g * GPS) == 0:
+            G = g
+            break
+    rows = G * A2
     io = x.dtype
 
     ipw = params[prefix + "attention.in_proj_weight"]       # [3C, C]
