@@ -8,6 +8,7 @@ import sys
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 
 def test_generate_data_synth_cli(tmp_path):
@@ -73,12 +74,14 @@ def test_option_module_compat(tmp_path):
     assert "option-compat OK" in res.stdout
 
 
+@pytest.mark.slow  # ~70 s even at the tiny config (torch import + two
+#                    f32-highest jit compiles)
 def test_train_step_parity_vs_reference(tmp_path):
     """One-step (plus 2-step curve) training parity vs the reference's
     torch loop (tools/parity_train.py; reference train.py:77-84,111-138).
-    Tiny config so the quick tier stays fast; the committed
-    PARITY_train.json artifact records the fuller 8-step c16 run."""
-    import pytest
+    The committed PARITY_train.json artifact records the fuller 8-step
+    c16 run."""
+    pytest.importorskip("torch")
     pytest.importorskip("torch")
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference mount not available")
