@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Dict
 
 import numpy as np
@@ -364,17 +365,62 @@ def _forward_body(params, lr, args, impl, compute_dtype, remat=True,
     # 3x3 conv to ONE output channel (which starves the MXU) becomes a
     # 9-tap channel contraction plus shifted adds.
     w_up = p["upsampling.0.weight"][:, :, 0, 0]                       # [C*S^2, C]
-    w_t = w_up.reshape(C, S, S, C).transpose(1, 2, 3, 0)[::-1, ::-1]
-    m = jax.lax.conv_transpose(m, w_t, strides=(S, S), padding="VALID",
-                               dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    m = _leaky(m)
     w3 = p["upsampling.3.weight"]                                     # [1, C, 3, 3]
-    w9 = w3[0].transpose(1, 2, 0).reshape(9, C)                       # tap-major
-    z = jnp.einsum("bhwc,tc->bhwt", m, w9)
-    zp = jnp.pad(z, [(0, 0), (1, 1), (1, 1), (0, 0)])
-    Hs, Ws = m.shape[1], m.shape[2]
-    m = sum(zp[:, dy:dy + Hs, dx:dx + Ws, dy * 3 + dx]
-            for dy in range(3) for dx in range(3))[..., None]         # [B, HS, WS, 1]
+    ups_variant = os.environ.get("LFT_UPS_VARIANT", "fold")
+    if ups_variant not in ("fold", "ct"):
+        raise ValueError(f"unknown upsampler variant {ups_variant!r} "
+                         f"(LFT_UPS_VARIANT?); valid: ('fold', 'ct')")
+    if ups_variant == "fold":
+        # LR-space formulation: never materialize narrow-channel HR
+        # tensors (the HR 9-tap einsum has a 9-lane output and the
+        # 1-channel shifted adds starve the VPU lanes; measured ~25
+        # ms/scene). Instead:
+        #   U  = leaky(m @ w_up^T)            [B, h, w, S^2*C]  (MXU, wide)
+        #   T  = U @ Wfold                    [B, h, w, 9*S^2]  (MXU, wide)
+        #   out[y, x, (i, j)] = sum_s Tp[y+dy, x+dx, s*S^2 + i*S + j]
+        # where Wfold scatters w3's taps so column (s=(dy*3+dx), i, j)
+        # of T holds the partial conv sum contributed by LR cell
+        # (y+dy-1, x+dx-1) to HR pixel (S*y+i, S*x+j); the 9 shifted
+        # adds then run on an S^2-wide LR grid, and a pixel-shuffle
+        # reshape emits the HR mosaic. Bit-level semantics match the
+        # conv_transpose path (same taps, f32 MXU accumulation).
+        S2 = S * S
+        r_np, c_np, k_np = [], [], []
+        for i in range(S):
+            for j in range(S):
+                for ky in range(3):
+                    for kx in range(3):
+                        cy, ip = divmod(i + ky - 1, S)
+                        cx, jp = divmod(j + kx - 1, S)
+                        s9 = (cy + 1) * 3 + (cx + 1)
+                        for c in range(C):
+                            r_np.append(c * S2 + ip * S + jp)
+                            c_np.append(s9 * S2 + i * S + j)
+                            k_np.append(c * 9 + ky * 3 + kx)
+        wfold = jnp.zeros((C * S2, 9 * S2), w3.dtype).at[
+            jnp.asarray(r_np), jnp.asarray(c_np)].set(
+                w3.reshape(-1)[jnp.asarray(k_np)]).astype(m.dtype)
+        u = _leaky(m @ w_up.T.astype(m.dtype))                        # [B,h,w,S2*C]
+        t = u @ wfold                                                 # [B,h,w,9*S2]
+        tp = jnp.pad(t, [(0, 0), (1, 1), (1, 1), (0, 0)])
+        hm, wm = m.shape[1], m.shape[2]
+        o16 = sum(tp[:, dy:dy + hm, dx:dx + wm,
+                     (dy * 3 + dx) * S2:(dy * 3 + dx + 1) * S2]
+                  for dy in range(3) for dx in range(3))              # [B,h,w,S2]
+        m = o16.reshape(B, hm, wm, S, S).transpose(0, 1, 3, 2, 4)
+        m = m.reshape(B, hm * S, wm * S)[..., None]                   # [B,HS,WS,1]
+    else:
+        # conv_transpose formulation (kept for A/B: LFT_UPS_VARIANT=ct)
+        w_t = w_up.reshape(C, S, S, C).transpose(1, 2, 3, 0)[::-1, ::-1]
+        m = jax.lax.conv_transpose(m, w_t, strides=(S, S), padding="VALID",
+                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        m = _leaky(m)
+        w9 = w3[0].transpose(1, 2, 0).reshape(9, C)                   # tap-major
+        z = jnp.einsum("bhwc,tc->bhwt", m, w9)
+        zp = jnp.pad(z, [(0, 0), (1, 1), (1, 1), (0, 0)])
+        Hs, Ws = m.shape[1], m.shape[2]
+        m = sum(zp[:, dy:dy + Hs, dx:dx + Ws, dy * 3 + dx]
+                for dy in range(3) for dx in range(3))[..., None]     # [B, HS, WS, 1]
 
     out = m[..., 0].astype(jnp.float32) + lr_up[:, 0]
     return out[:, None]                                               # NCHW

@@ -128,6 +128,25 @@ def test_validate_params_raises():
         ckpt.validate_params({"a": np.zeros((2, 3)), "b": np.zeros(3)}, shapes)
 
 
+@pytest.mark.parametrize("s", [2, 4])
+def test_upsampler_fold_matches_ct(s, monkeypatch):
+    """The LR-space folded upsampler head (LFT_UPS_VARIANT=fold, default)
+    must match the conv_transpose formulation (=ct) to f32 rounding; both
+    implement reference model/LFT.py:39-44,80."""
+    args = Args(angRes=5, scale_factor=s, channels=16)
+    p = lft.init_params(jax.random.PRNGKey(4), args)
+    x = jnp.asarray(np.random.RandomState(4).rand(1, 1, 5 * 12, 5 * 12)
+                    .astype(np.float32))
+    monkeypatch.setenv("LFT_UPS_VARIANT", "fold")
+    a = lft.forward(p, x, args, attention_impl="tiled")
+    monkeypatch.setenv("LFT_UPS_VARIANT", "ct")
+    b = lft.forward(p, x, args, attention_impl="tiled")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    monkeypatch.setenv("LFT_UPS_VARIANT", "nope")
+    with pytest.raises(ValueError, match="upsampler variant"):
+        lft.forward(p, x, args, attention_impl="tiled")
+
+
 @pytest.mark.slow
 def test_forward_angres3():
     """Model generality: angRes != 5 (3x3 views) must work end-to-end."""
