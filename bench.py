@@ -60,7 +60,7 @@ def main():
                     choices=["auto", "dense", "tiled", "pallas"])
     ap.add_argument("--scene", type=int, default=128, help="LR view size")
     ap.add_argument("--eval_batch", type=int, default=16)
-    ap.add_argument("--scene_batch", type=int, default=4,
+    ap.add_argument("--scene_batch", type=int, default=8,
                     help="scenes per jit dispatch (amortizes the ~29 ms "
                          "tunneled-device dispatch overhead; the eval "
                          "pipeline's ScenePipelineCache(scene_batch=N) "
