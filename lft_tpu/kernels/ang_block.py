@@ -118,7 +118,11 @@ def _kernel(mask_ref, hm_ref, pe_ref, ln_ref, wq_ref, wk_ref, wv_ref,
 
 def _gps():
     env = os.environ.get("LFT_ANGB_GPS", "")
-    return int(env) if env else 8
+    # GPS 4/8/16/32/64 measured 29.0/29.6/29.9/30.1/28.6 MPx/s end-to-end
+    # at the production geometry (tools/bench_sweep.py --env, 2026-08-18):
+    # bigger steps amortize grid overhead until the [GPS, G*A2, C] blocks
+    # crowd VMEM double-buffering at 64
+    return int(env) if env else 32
 
 
 def ang_block_applicable(A2: int) -> bool:

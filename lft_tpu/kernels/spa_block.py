@@ -168,7 +168,12 @@ def _views_per_step(n_tiles):
     env = os.environ.get("LFT_SPAB_VPS", "")
     if env:
         return int(env)
-    return max(1, 32 // n_tiles)
+    # fewer views per grid step pipelines input/output DMA against
+    # compute better than big blocks amortize grid overhead: at the
+    # production 32x32/8-tile geometry VPS 1/2/4/8 measured
+    # 29.6/29.6/27.6/28.4 MPx/s end-to-end (tools/bench_sweep.py --env,
+    # 2026-08-18), so target ~8 tiles of work per step, not 32
+    return max(1, 8 // n_tiles)
 
 
 def spa_block_applicable(h: int, w: int, D: int, num_heads: int,
