@@ -84,7 +84,13 @@ def _kb_align(num_heads: int) -> int:
 def pick_hp_geometry(h: int, w: int, num_heads: int, k: int):
     """(th, tw, KB) minimising modelled MXU time
     `n_tiles * max(nq, _M0) * H*KB`, or None if no candidate fits the
-    limits. `LFT_HP_TILE=thxtw` forces a tile (raises if invalid)."""
+    limits. `LFT_HP_TILE=thxtw` forces a tile (raises if invalid).
+
+    A/B foot-gun: a forced tile WITHOUT `LFT_HP_KB` gets the minimal
+    aligned KB, which may not be 128-lane aligned -- e.g. 8x16 forced
+    gives KB=240 (22.6 MPx/s end-to-end) while the free search picks
+    KB=256 (30.1 MPx/s; measured 2026-08-18). Set LFT_HP_KB explicitly
+    when A/B-ing tiles, or the sweep measures KB alignment instead."""
     r = k // 2
     align = _kb_align(num_heads)
 
