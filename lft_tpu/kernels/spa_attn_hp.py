@@ -462,9 +462,12 @@ def _vjp_fwd(q_img, k_img, v_img, num_heads, k):
 def _vjp_bwd(num_heads, k, res, dout):
     q_img, k_img, v_img, m, l = res
     B, h, w, E = q_img.shape
-    V = 1  # backward holds f32 dk/dv accumulators + full-width scratch per
-           # tile; keep one view per step (V=2 overflowed the 16 MB
-           # scoped-VMEM stack at the old, larger geometry)
+    # Backward holds f32 dk/dv accumulators + full-width scratch per tile;
+    # one view per step is the only setting that fits the 16 MB scoped-VMEM
+    # stack (V=2/4 still fail to compile at the current 8x16/KB=256
+    # geometry -- 2026-08-19 tools/bench_train_knobs.py sweep).
+    # `LFT_HP_BWD_VPS=N` overrides for A/B benchmarking.
+    V = int(os.environ.get("LFT_HP_BWD_VPS", "1") or 1)
     (r, th, tw, KB, n_tiles, nq, pad_b, img, pad, mspec, npspec,
      segtspec) = _geom(h, w, E, k, B, V, num_heads)
     mask, npad, hm = (jnp.asarray(c) for c in
