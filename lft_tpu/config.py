@@ -75,6 +75,12 @@ class Args:
     train_remat: bool = True          # checkpoint AltFilter blocks in training
                                       # (False trades HBM for fewer backward
                                       # FLOPs; safe with the Pallas kernels)
+    train_fused: str = "auto"         # auto | true | false: run each whole
+                                      # transformer block as one Pallas kernel
+                                      # in the TRAIN step too (custom fused
+                                      # recompute+backward kernels). auto =
+                                      # on TPU when dtype is bfloat16 and the
+                                      # geometry qualifies
 
     # Mutable runtime state the reference stores on args (train.py:116).
     temperature: float = 1.0
@@ -158,6 +164,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint each AltFilter block in the train step "
                         "(False = keep activations, fewer backward FLOPs; "
                         "fine with the Pallas kernels' compact residuals)")
+    p.add_argument("--train_fused", type=str, default=d.train_fused,
+                   choices=("auto", "true", "false"),
+                   help="fused whole-block Pallas kernels in the train step "
+                        "(forward AND backward); auto = TPU + bfloat16 + "
+                        "qualifying geometry")
     return p
 
 

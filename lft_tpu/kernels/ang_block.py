@@ -1,4 +1,4 @@
-"""Fused angular-transformer block (Pallas TPU, inference primal only).
+"""Fused angular-transformer block (Pallas TPU, differentiable).
 
 Companion to kernels/spa_block.py: one pallas_call runs the entire
 AngTrans block (reference model/LFT.py:194-238) -- PE add, LayerNorm,
@@ -27,8 +27,18 @@ packing requires exactly those copies, and the unpacked formulation does
 HALF the score/value MACs at half the MXU depth-efficiency -- a wash on
 the MXU, a win on HBM.
 
-Inference-only: no custom VJP (training keeps ang_attn_mxu.py's
-custom-VJP dispatch). `LFT_ANGB_GPS=N` overrides groups-per-step.
+Training (round 4): the block carries a custom VJP. The forward saves
+NOTHING beyond its inputs (no stats round-trip to HBM); the backward is
+ONE Pallas kernel per group chunk that recomputes the whole block chain
+in VMEM from the [rows, C] input and then backpropagates through it --
+FFN, LN2, out-proj, block-diag attention (the ang_attn_mxu.py backward
+identities), projections, LN1 -- accumulating all weight gradients in
+f32 VMEM accumulators that flush to HBM once (constant-index-map output
+blocks; the TPU grid is sequential, so read-modify-write is exact).
+Padded tail rows contribute exactly zero to every accumulator because
+their dout rows are zero and every gradient contraction has one operand
+from the dout chain. `LFT_ANGB_GPS=N` / `LFT_ANGB_BWD_GPS=N` override
+groups-per-step for the forward / backward.
 """
 
 from __future__ import annotations
@@ -42,7 +52,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lft_tpu.kernels.ang_attn_mxu import BLK, _consts, _seg_sums
+from lft_tpu.kernels.ang_attn_mxu import (BLK, _consts, _seg_bcast_matrix,
+                                          _seg_sums)
 
 LN_EPS = 1e-5  # torch nn.LayerNorm default
 
@@ -129,47 +140,38 @@ def ang_block_applicable(A2: int) -> bool:
     return A2 <= BLK
 
 
-def ang_trans_block_fused(x, ang_pe, params, prefix, num_heads: int):
-    """Run the whole AngTrans block on pixel-major tokens.
-
-    x:      [N, A2, C] tokens (N = folded batch*h*w pixels);
-    ang_pe: [A2, C] angular position encoding;
-    params/prefix: flat param dict and `altblock.{i}.ang_trans.`.
-    Returns [N, A2, C]. Inference-only -- no VJP."""
-    N, A2, C = x.shape
-    GPS = _gps()
-    # Prefer a group size whose G*GPS divides N: the jnp.pad + [:N] slice
-    # a ragged tail needs are FULL HBM copies of the token tensor (~13 ms
-    # per 128^2 scene measured). MACs per pixel are G-independent
-    # (rows * H*BLK * C / G = A2 * H*BLK * C), so a smaller divisible G
-    # costs only a few percent more grid steps.
+def _pick_group(N: int, A2: int, gps: int) -> int:
+    """Prefer a group size whose G*GPS divides N: the jnp.pad + [:N] slice
+    a ragged tail needs are FULL HBM copies of the token tensor (~13 ms
+    per 128^2 scene measured). MACs per pixel are G-independent
+    (rows * H*BLK * C / G = A2 * H*BLK * C), so a smaller divisible G
+    costs only a few percent more grid steps."""
     G_max = max(BLK // A2, 1)
-    G = G_max
     for g in range(G_max, 0, -1):
-        if N % (g * GPS) == 0:
-            G = g
-            break
-    rows = G * A2
-    io = x.dtype
+        if N % (g * gps) == 0:
+            return g
+    return G_max
 
-    ipw = params[prefix + "attention.in_proj_weight"]       # [3C, C]
-    wq, wk, wv = jnp.split(ipw, 3, axis=0)
-    wq_t, wk_t, wv_t = wq.T, wk.T, wv.T
-    wo_t = params[prefix + "attention.out_proj.weight"].T
-    w1_t = params[prefix + "feed_forward.1.weight"].T       # [C, 2C]
-    w2_t = params[prefix + "feed_forward.4.weight"].T       # [2C, C]
-    ln = jnp.stack([params[prefix + "norm.weight"],
-                    params[prefix + "norm.bias"],
-                    params[prefix + "feed_forward.0.weight"],
-                    params[prefix + "feed_forward.0.bias"]]
-                   ).astype(jnp.float32)                    # [4, C]
-    mask, hm = (jnp.asarray(c) for c in _consts(A2, C, num_heads, G))
-    hm = hm.astype(io)
-    pe = jnp.tile(ang_pe.astype(jnp.float32), (G, 1))       # [rows, C]
 
+def _group(x, G, GPS):
+    """[N, A2, C] -> [n_groups, G*A2, C] (pixel-major regroup is a free
+    reshape), zero-padding N to a multiple of G*GPS."""
+    N, A2, C = x.shape
     pad = (-N) % (G * GPS)
     x_p = jnp.pad(x, [(0, pad), (0, 0), (0, 0)]) if pad else x
-    xg = x_p.reshape((N + pad) // G, rows, C)   # free reshape: pixel-major
+    return x_p.reshape((N + pad) // G, G * A2, C)
+
+
+def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads):
+    N, A2, C = x.shape
+    GPS = _gps()
+    G = _pick_group(N, A2, GPS)
+    rows = G * A2
+    io = x.dtype
+    mask, hm = (jnp.asarray(c) for c in _consts(A2, C, num_heads, G))
+    hm = hm.astype(io)
+    pe_t = jnp.tile(pe.astype(jnp.float32), (G, 1))         # [rows, C]
+    xg = _group(x, G, GPS)
     n_groups = xg.shape[0]
 
     grp = pl.BlockSpec((GPS, rows, C), lambda i: (i, 0, 0),
@@ -186,6 +188,236 @@ def ang_trans_block_fused(x, ang_pe, params, prefix, num_heads: int):
                   grp],
         out_specs=grp,
         out_shape=jax.ShapeDtypeStruct((n_groups, rows, C), io),
-    )(mask, hm, pe, ln, wq_t.astype(io), wk_t.astype(io), wv_t.astype(io),
-      wo_t.astype(io), w1_t.astype(io), w2_t.astype(io), xg)
+    )(mask, hm, pe_t, ln.astype(jnp.float32), wq_t.astype(io),
+      wk_t.astype(io), wv_t.astype(io), wo_t.astype(io), w1_t.astype(io),
+      w2_t.astype(io), xg)
     return out.reshape(-1, A2, C)[:N]
+
+
+def _bwd_kernel(mask_ref, hm_ref, seg_ref, pe_ref, ln_ref, wq_ref, wk_ref,
+                wv_ref, wo_ref, w1_ref, w2_ref, x_ref, do_ref, dx_ref,
+                dln_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dw1_ref,
+                dw2_ref, *, num_heads):
+    """Fused recompute + backward for the whole AngTrans block. One grid
+    step = GPS groups; weight-grad outputs have constant index maps, so
+    they live in VMEM across the (sequential) grid and flush once."""
+    C = x_ref.shape[-1]
+    rows = x_ref.shape[1]
+    scale = jnp.float32(float(C // num_heads) ** -0.5)
+    io = x_ref.dtype
+    f32 = jnp.float32
+    ln1w, ln1b = ln_ref[0, :], ln_ref[1, :]
+    ln2w, ln2b = ln_ref[2, :], ln_ref[3, :]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_acc():
+        dln_ref[:, :] = jnp.zeros_like(dln_ref)
+        dwq_ref[:, :] = jnp.zeros_like(dwq_ref)
+        dwk_ref[:, :] = jnp.zeros_like(dwk_ref)
+        dwv_ref[:, :] = jnp.zeros_like(dwv_ref)
+        dwo_ref[:, :] = jnp.zeros_like(dwo_ref)
+        dw1_ref[:, :] = jnp.zeros_like(dw1_ref)
+        dw2_ref[:, :] = jnp.zeros_like(dw2_ref)
+
+    # local f32 accumulators across the unrolled group loop: one
+    # read-modify-write of the output blocks per grid step
+    a_ln = jnp.zeros((4, C), f32)
+    a_wq = jnp.zeros((C, C), f32)
+    a_wk = jnp.zeros((C, C), f32)
+    a_wv = jnp.zeros((C, C), f32)
+    a_wo = jnp.zeros((C, C), f32)
+    a_w1 = jnp.zeros((C, 2 * C), f32)
+    a_w2 = jnp.zeros((2 * C, C), f32)
+
+    def _dgen(a, b, dims):
+        return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=f32)
+
+    for g in range(x_ref.shape[0]):
+        x = x_ref[g]                                     # [rows, C] io
+        do = do_ref[g]
+        # ---- recompute the forward chain (same ops as _kernel) ----
+        xf = x.astype(f32) + pe_ref[:, :]
+        mu1 = jnp.mean(xf, axis=-1, keepdims=True)
+        var1 = jnp.mean(jnp.square(xf - mu1), axis=-1, keepdims=True)
+        rstd1 = jax.lax.rsqrt(var1 + LN_EPS)
+        xhat1 = (xf - mu1) * rstd1
+        xn = (xhat1 * ln1w + ln1b).astype(io)
+        q = _mm(xn, wq_ref[:, :]).astype(io)             # [rows, C]
+        k = _mm(xn, wk_ref[:, :]).astype(io)
+        v = _mm(x, wv_ref[:, :]).astype(io)
+        k_rep = _replicate(k, hm_ref, num_heads, rows)   # [H*BLK, C]
+        v_rep = _replicate(v, hm_ref, num_heads, rows)
+        s = _dgen(q, k_rep, ((1,), (1,))) * scale + mask_ref[:, :]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = _seg_sums(e, num_heads, BLK)                 # [rows, H]
+        inv = 1.0 / l
+        seg = seg_ref[:, :]                              # [H, H*BLK]
+        a_f = e * jnp.dot(inv, seg, preferred_element_type=f32)
+        hm_f = hm_ref[:, :].astype(f32)
+        attn = (_dgen(e.astype(io), v_rep, ((1,), (0,)))
+                * jnp.dot(inv, hm_f, preferred_element_type=f32))
+        attn_io = attn.astype(io)
+        x2 = _mm(attn_io, wo_ref[:, :]).astype(io) + x
+        x2f = x2.astype(f32)
+        mu2 = jnp.mean(x2f, axis=-1, keepdims=True)
+        var2 = jnp.mean(jnp.square(x2f - mu2), axis=-1, keepdims=True)
+        rstd2 = jax.lax.rsqrt(var2 + LN_EPS)
+        xhat2 = (x2f - mu2) * rstd2
+        xn2 = (xhat2 * ln2w + ln2b).astype(io)
+        pre1 = _mm(xn2, w1_ref[:, :])                    # [rows, 2C] f32
+        hid = jax.nn.relu(pre1).astype(io)
+
+        # ---- backward ----
+        # y = hid @ w2 + x2
+        dhid = _dgen(do, w2_ref[:, :], ((1,), (1,)))     # [rows, 2C]
+        a_w2 = a_w2 + _dgen(hid, do, ((0,), (0,)))       # [2C, C]
+        dpre1 = jnp.where(pre1 > 0, dhid, 0.0).astype(io)
+        a_w1 = a_w1 + _dgen(xn2, dpre1, ((0,), (0,)))    # [C, 2C]
+        dxn2 = _dgen(dpre1, w1_ref[:, :], ((1,), (1,)))  # [rows, C]
+        dln2w = jnp.sum(dxn2 * xhat2, axis=0, keepdims=True)
+        dln2b = jnp.sum(dxn2, axis=0, keepdims=True)
+        dxh2 = dxn2 * ln2w
+        dx2 = do.astype(f32) + rstd2 * (
+            dxh2 - jnp.mean(dxh2, axis=-1, keepdims=True)
+            - xhat2 * jnp.mean(dxh2 * xhat2, axis=-1, keepdims=True))
+        dx2_io = dx2.astype(io)
+        # x2 = attn @ wo + x
+        dattn = _dgen(dx2_io, wo_ref[:, :], ((1,), (1,)))
+        a_wo = a_wo + _dgen(attn_io, dx2_io, ((0,), (0,)))
+        dattn_io = dattn.astype(io)
+        # block-diag attention backward (ang_attn_mxu identities)
+        dov = _dgen(dattn_io, v_rep, ((1,), (1,)))       # [rows, H*BLK]
+        D = _seg_sums(a_f * dov, num_heads, BLK)         # [rows, H]
+        D_b = jnp.dot(D, seg, preferred_element_type=f32)
+        ds = (a_f * (dov - D_b) * scale).astype(io)
+        a_io = a_f.astype(io)
+        dq = _dgen(ds, k_rep, ((1,), (0,))).astype(io)   # [rows, C]
+        dk_rep = _dgen(ds, q, ((0,), (0,)))              # [H*BLK, C]
+        dv_rep = _dgen(a_io, dattn_io, ((0,), (0,)))
+        dk = jnp.zeros((rows, C), f32)
+        dv = jnp.zeros((rows, C), f32)
+        for h in range(num_heads):
+            hmv = hm_f[h:h + 1, :]
+            dk = dk + dk_rep[h * BLK:h * BLK + rows] * hmv
+            dv = dv + dv_rep[h * BLK:h * BLK + rows] * hmv
+        dk_io = dk.astype(io)
+        dv_io = dv.astype(io)
+        # q = xn @ wq; k = xn @ wk; v = x @ wv
+        dxn = (_dgen(dq, wq_ref[:, :], ((1,), (1,)))
+               + _dgen(dk_io, wk_ref[:, :], ((1,), (1,))))
+        a_wq = a_wq + _dgen(xn, dq, ((0,), (0,)))
+        a_wk = a_wk + _dgen(xn, dk_io, ((0,), (0,)))
+        a_wv = a_wv + _dgen(x, dv_io, ((0,), (0,)))
+        dx = dx2 + _dgen(dv_io, wv_ref[:, :], ((1,), (1,)))
+        # LN1 backward
+        dln1w = jnp.sum(dxn * xhat1, axis=0, keepdims=True)
+        dln1b = jnp.sum(dxn, axis=0, keepdims=True)
+        a_ln = a_ln + jnp.concatenate([dln1w, dln1b, dln2w, dln2b], axis=0)
+        dxh1 = dxn * ln1w
+        dx = dx + rstd1 * (
+            dxh1 - jnp.mean(dxh1, axis=-1, keepdims=True)
+            - xhat1 * jnp.mean(dxh1 * xhat1, axis=-1, keepdims=True))
+        dx_ref[g] = dx.astype(io)
+
+    dln_ref[:, :] = dln_ref[:, :] + a_ln
+    dwq_ref[:, :] = dwq_ref[:, :] + a_wq
+    dwk_ref[:, :] = dwk_ref[:, :] + a_wk
+    dwv_ref[:, :] = dwv_ref[:, :] + a_wv
+    dwo_ref[:, :] = dwo_ref[:, :] + a_wo
+    dw1_ref[:, :] = dw1_ref[:, :] + a_w1
+    dw2_ref[:, :] = dw2_ref[:, :] + a_w2
+
+
+def _bwd_gps():
+    env = os.environ.get("LFT_ANGB_BWD_GPS", "")
+    # the backward body is ~3x the forward body; smaller unroll keeps
+    # Mosaic compile time and VMEM pressure in check
+    return int(env) if env else 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def ang_block_core(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t,
+                   num_heads):
+    """Differentiable fused AngTrans block on [N, A2, C] pixel-major
+    tokens. Weights are the pre-transposed tensors (see
+    ang_trans_block_fused); ln is [4, C] = (norm.w, norm.b, ffn_ln.w,
+    ffn_ln.b). pe receives a zero cotangent (the angular PE is derived
+    from static shape, never learned -- reference model/LFT.py:70)."""
+    return _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t,
+                     num_heads)
+
+
+def _vjp_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads):
+    out = _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t,
+                    num_heads)
+    return out, (x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t)
+
+
+def _vjp_bwd(num_heads, res, dout):
+    x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t = res
+    N, A2, C = x.shape
+    from lft_tpu.kernels.common import bwd_io_dtype
+    io = bwd_io_dtype(x.dtype)
+    GPS = _bwd_gps()
+    G = _pick_group(N, A2, GPS)
+    rows = G * A2
+    mask, hm = (jnp.asarray(c) for c in _consts(A2, C, num_heads, G))
+    seg = jnp.asarray(_seg_bcast_matrix(num_heads, BLK))
+    hm = hm.astype(io)
+    pe_t = jnp.tile(pe.astype(jnp.float32), (G, 1))
+    xg = _group(x.astype(io), G, GPS)
+    dog = _group(dout.astype(io), G, GPS)
+    n_groups = xg.shape[0]
+
+    grp = pl.BlockSpec((GPS, rows, C), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads)
+    interpret = jax.devices()[0].platform != "tpu"
+    f32 = jnp.float32
+    acc = lambda shp: jax.ShapeDtypeStruct(shp, f32)
+    dx, dln, dwq, dwk, dwv, dwo, dw1, dw2 = pl.pallas_call(
+        kernel, interpret=interpret, grid=(n_groups // GPS,),
+        in_specs=[full(rows, num_heads * BLK), full(num_heads, C),
+                  full(num_heads, num_heads * BLK), full(rows, C),
+                  full(4, C), full(C, C), full(C, C), full(C, C),
+                  full(C, C), full(C, 2 * C), full(2 * C, C), grp, grp],
+        out_specs=(grp, full(4, C), full(C, C), full(C, C), full(C, C),
+                   full(C, C), full(C, 2 * C), full(2 * C, C)),
+        out_shape=(jax.ShapeDtypeStruct((n_groups, rows, C), io),
+                   acc((4, C)), acc((C, C)), acc((C, C)), acc((C, C)),
+                   acc((C, C)), acc((C, 2 * C)), acc((2 * C, C))),
+    )(mask, hm, seg, pe_t, ln.astype(f32), wq_t.astype(io),
+      wk_t.astype(io), wv_t.astype(io), wo_t.astype(io), w1_t.astype(io),
+      w2_t.astype(io), xg, dog)
+    dx = dx.reshape(-1, A2, C)[:N].astype(x.dtype)
+    c = lambda g, w: g.astype(w.dtype)
+    return (dx, jnp.zeros_like(pe), c(dln, ln), c(dwq, wq_t), c(dwk, wk_t),
+            c(dwv, wv_t), c(dwo, wo_t), c(dw1, w1_t), c(dw2, w2_t))
+
+
+ang_block_core.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def ang_trans_block_fused(x, ang_pe, params, prefix, num_heads: int):
+    """Run the whole AngTrans block on pixel-major tokens.
+
+    x:      [N, A2, C] tokens (N = folded batch*h*w pixels);
+    ang_pe: [A2, C] angular position encoding;
+    params/prefix: flat param dict and `altblock.{i}.ang_trans.`.
+    Returns [N, A2, C]. Differentiable: the block carries a custom VJP
+    (one fused recompute+backward kernel; see module docstring)."""
+    ipw = params[prefix + "attention.in_proj_weight"]       # [3C, C]
+    wq, wk, wv = jnp.split(ipw, 3, axis=0)
+    wo_t = params[prefix + "attention.out_proj.weight"].T
+    w1_t = params[prefix + "feed_forward.1.weight"].T       # [C, 2C]
+    w2_t = params[prefix + "feed_forward.4.weight"].T       # [2C, C]
+    ln = jnp.stack([params[prefix + "norm.weight"],
+                    params[prefix + "norm.bias"],
+                    params[prefix + "feed_forward.0.weight"],
+                    params[prefix + "feed_forward.0.bias"]])  # [4, C]
+    return ang_block_core(x, ang_pe, ln, wq.T, wk.T, wv.T, wo_t, w1_t,
+                          w2_t, num_heads)

@@ -40,10 +40,21 @@ matmul is a full-depth MXU contraction. Scratch borders are zeroed once
 at grid step 0 -- view interiors are fully rewritten per view, borders
 never are.
 
-Inference-only: no custom VJP (training keeps the hybrid dispatch in
-kernels/spa_attn.py -- its backward needs the (m, l) stats this kernel
-deliberately never materializes). `LFT_SPAB_VPS=N` overrides
-views-per-step for A/B benchmarking.
+Training (round 4): the view-major form carries a custom VJP. The
+forward saves NOTHING beyond its inputs (no stats round-trip to HBM);
+the backward is ONE Pallas kernel per view that (a) recomputes the whole
+block chain in VMEM from the [h, w, C] view -- tokenization taps, LN1,
+projections, halo'd window attention with per-tile (m, l) stats parked
+in a small VMEM scratch -- and (b) backpropagates through it: Token2SAI,
+FFN, LN2, out-proj, the head-packed attention backward (the
+spa_attn_hp.py identities, dk/dv accumulated into padded f32 scratch and
+cropped), projections, LN1, and the 9 transposed tokenization taps. All
+weight gradients accumulate in f32 constant-index-map output blocks (the
+TPU grid is sequential, so read-modify-write is exact), including the
+PE-token gradient (the spatial PE rides through the SAME unfold+MLP as
+the tokens, reference model/LFT.py:180, so its cotangent feeds the MLP
+weight gradient outside the kernel). `LFT_SPAB_VPS=N` /
+`LFT_SPAB_BWD_VPS=N` override views-per-step for forward / backward.
 """
 
 from __future__ import annotations
@@ -183,33 +194,12 @@ def spa_block_applicable(h: int, w: int, D: int, num_heads: int,
     return pick_hp_geometry(h, w, num_heads, k) is not None
 
 
-def spa_trans_block_fused(x, pe_tok, params, prefix, num_heads: int,
-                          k: int, pixel_major: bool = False):
-    """Run the whole SpaTrans block on view images.
-
-    x:      [B, h, w, C] view images (folded batch*A2), or with
-            `pixel_major=True` a [Bb, h, w, A2, C] pixel-major buffer --
-            each (batch, view) plane is DMA-gathered straight out of the
-            strided layout (squeezed BlockSpec dim), so the fused
-            pixel-major forward never materializes a view-major transpose;
-    pe_tok: [h, w, D] the PE passed through unfold+MLP (computed outside,
-            it is view-independent);
-    params/prefix: the flat param dict and `altblock.{i}.spa_trans.`.
-    Returns the same shape as `x`. Inference-only -- there is no VJP;
-    callers must not differentiate through this.
-    """
-    if pixel_major:
-        Bb, h, w, A2, C = x.shape
-    else:
-        B, h, w, C = x.shape
-    r = k // 2
+def _prep(params, prefix):
+    """Param dict -> the kernel-layout weight tensors (all traced jnp ops,
+    so the custom VJP's weight cotangents flow back to the dict names)."""
     mlp_w = params[prefix + "MLP.weight"]                   # [D, C*9]
     D = mlp_w.shape[0]
-    th, tw, KB = pick_hp_geometry(h, w, num_heads, k)
-    n_tiles = (h // th) * (w // tw)
-    nq = th * tw
-    io = x.dtype
-
+    C = mlp_w.shape[1] // 9
     # torch unfold feature ordering c*9 + ky*3 + kx -> tap-major [9, C, D]
     wu = mlp_w.reshape(D, C, 9).transpose(2, 1, 0)          # [9, C, D]
     ipw = params[prefix + "attention.in_proj_weight"]       # [3D, D]
@@ -223,13 +213,28 @@ def spa_trans_block_fused(x, pe_tok, params, prefix, num_heads: int,
     ln = jnp.stack([params[prefix + "norm.weight"],
                     params[prefix + "norm.bias"],
                     params[prefix + "feed_forward.0.weight"],
-                    params[prefix + "feed_forward.0.bias"]]
-                   ).astype(jnp.float32)                    # [4, D]
+                    params[prefix + "feed_forward.0.bias"]])       # [4, D]
+    return ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t
+
+
+def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
+              num_heads: int, k: int, pixel_major: bool = False):
+    if pixel_major:
+        Bb, h, w, A2, C = x.shape
+    else:
+        B, h, w, C = x.shape
+    r = k // 2
+    D = wu.shape[-1]
+    th, tw, KB = pick_hp_geometry(h, w, num_heads, k)
+    n_tiles = (h // th) * (w // tw)
+    nq = th * tw
+    io = x.dtype
 
     mask, npad, hm = (jnp.asarray(c) for c in
                       _np_consts(th, tw, r, h, w, num_heads, D, KB))
     segt = jnp.asarray(_np_segsum_matrix(num_heads, KB))
     hm = hm.astype(io)
+    ln = ln.astype(jnp.float32)
 
     V = _views_per_step(n_tiles)
     interpret = jax.devices()[0].platform != "tpu"
@@ -289,3 +294,343 @@ def spa_trans_block_fused(x, pe_tok, params, prefix, num_heads: int,
         scratch_shapes=scratch,
     )(*wts, x_p)
     return out[:B]
+
+
+def _bwd_kernel(mask_ref, npad_ref, segt_ref, seg_ref, hm_ref, ln_ref,
+                pe_ref, wu_ref, wqk_ref, wv_ref, wo_ref, w1_ref, w2_ref,
+                wlin_ref, x_ref, do_ref, dx_ref, dpe_ref, dln_ref, dwu_ref,
+                dwqk_ref, dwv_ref, dwo_ref, dw1_ref, dw2_ref, dwlin_ref,
+                xpad_s, kpad_s, vpad_s, attn_s, dq_s, dkpad_s, dvpad_s,
+                dxpad_s, ml_s, *, h, w, th, tw, r, KB, num_heads):
+    """Fused recompute + backward for the whole SpaTrans block. One grid
+    step = V views; weight-grad outputs have constant index maps, so they
+    live in VMEM across the (sequential) grid and flush once. ml_s parks
+    the per-tile softmax stats between the recompute and backward tile
+    loops; dkpad_s/dvpad_s are f32 halo accumulators cropped like the
+    spa_attn_hp backward."""
+    C = x_ref.shape[-1]
+    D = wu_ref.shape[-1]
+    hl_h, hl_w = th + 2 * r, tw + 2 * r
+    nq, nk = th * tw, hl_h * hl_w
+    n_tw = w // tw
+    scale = jnp.float32(float(D // num_heads) ** -0.5)
+    io = x_ref.dtype
+    f32 = jnp.float32
+    pe = pe_ref[:, :, :].astype(f32).reshape(h * w, D)
+    ln1w, ln1b = ln_ref[0, :], ln_ref[1, :]
+    ln2w, ln2b = ln_ref[2, :], ln_ref[3, :]
+    hm_f = hm_ref[:, :].astype(f32)
+
+    def _dgen(a, b, dims):
+        return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=f32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        xpad_s[:, :, :] = jnp.zeros((h + 2, w + 2, C), io)
+        kpad_s[:, :, :] = jnp.zeros_like(kpad_s)
+        vpad_s[:, :, :] = jnp.zeros_like(vpad_s)
+        dpe_ref[:, :, :] = jnp.zeros_like(dpe_ref)
+        dln_ref[:, :] = jnp.zeros_like(dln_ref)
+        dwu_ref[:, :, :] = jnp.zeros_like(dwu_ref)
+        dwqk_ref[:, :] = jnp.zeros_like(dwqk_ref)
+        dwv_ref[:, :] = jnp.zeros_like(dwv_ref)
+        dwo_ref[:, :] = jnp.zeros_like(dwo_ref)
+        dw1_ref[:, :] = jnp.zeros_like(dw1_ref)
+        dw2_ref[:, :] = jnp.zeros_like(dw2_ref)
+        dwlin_ref[:, :] = jnp.zeros_like(dwlin_ref)
+
+    a_pe = jnp.zeros((h * w, D), f32)
+    a_ln = jnp.zeros((4, D), f32)
+    a_wu = [jnp.zeros((C, D), f32) for _ in range(9)]
+    a_wqk = jnp.zeros((D, 2 * D), f32)
+    a_wv = jnp.zeros((D, D), f32)
+    a_wo = jnp.zeros((D, D), f32)
+    a_w1 = jnp.zeros((D, 2 * D), f32)
+    a_w2 = jnp.zeros((2 * D, D), f32)
+    a_wlin = jnp.zeros((D, C), f32)
+
+    for vi in range(x_ref.shape[0]):
+        # ---- recompute: tokenization, LN1, projections, halos ----
+        xpad_s[1:1 + h, 1:1 + w, :] = x_ref[vi]
+        tok_f = _mm(xpad_s[0:h, 0:w, :].reshape(h * w, C), wu_ref[0])
+        for t9 in range(1, 9):
+            ky, kx = t9 // 3, t9 % 3
+            tok_f = tok_f + _mm(
+                xpad_s[ky:ky + h, kx:kx + w, :].reshape(h * w, C),
+                wu_ref[t9])
+        tok = tok_f.astype(io)                           # [hw, D]
+        xf = tok_f + pe
+        mu1 = jnp.mean(xf, axis=-1, keepdims=True)
+        var1 = jnp.mean(jnp.square(xf - mu1), axis=-1, keepdims=True)
+        rstd1 = jax.lax.rsqrt(var1 + LN_EPS)
+        xhat1 = (xf - mu1) * rstd1
+        xn = (xhat1 * ln1w + ln1b).astype(io)
+        qk = _mm(xn, wqk_ref[:, :])                      # [hw, 2D]
+        q_img = qk[:, :D].astype(io).reshape(h, w, D)
+        kpad_s[r:r + h, r:r + w, :] = (
+            qk[:, D:].astype(io).reshape(h, w, D))
+        vpad_s[r:r + h, r:r + w, :] = (
+            _mm(tok, wv_ref[:, :]).astype(io).reshape(h, w, D))
+
+        # ---- recompute attention fwd, parking (m, l) and attn ----
+        for ti in range(h // th):
+            for tj in range(w // tw):
+                t_idx = ti * n_tw + tj
+                q_t = q_img[ti * th:(ti + 1) * th,
+                            tj * tw:(tj + 1) * tw, :].reshape(nq, D)
+                k_t = kpad_s[ti * th:ti * th + hl_h,
+                             tj * tw:tj * tw + hl_w, :].reshape(nk, D)
+                v_t = vpad_s[ti * th:ti * th + hl_h,
+                             tj * tw:tj * tw + hl_w, :].reshape(nk, D)
+                k_rep = _replicate(k_t, hm_ref, num_heads, KB)
+                v_rep = _replicate(v_t, hm_ref, num_heads, KB)
+                s = _dgen(q_t, k_rep, ((1,), (1,))) * scale + mask_ref[:, :]
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                l = _seg(e, num_heads, KB, segt_ref)
+                l = l - jnp.exp(-m) * npad_ref[t_idx]
+                ml_s[0, t_idx] = m + jnp.zeros((nq, num_heads), f32)
+                ml_s[1, t_idx] = l
+                out_raw = _dgen(e.astype(io), v_rep, ((1,), (0,)))
+                attn = out_raw * jnp.dot(1.0 / l, hm_f,
+                                         preferred_element_type=f32)
+                attn_s[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw, :] = (
+                    attn.astype(io).reshape(th, tw, D))
+
+        # ---- recompute post-chain, then backward through it ----
+        attn_f = attn_s[:, :, :].reshape(h * w, D)       # io
+        x2 = _mm(attn_f, wo_ref[:, :]).astype(io) + tok
+        x2f = x2.astype(f32)
+        mu2 = jnp.mean(x2f, axis=-1, keepdims=True)
+        var2 = jnp.mean(jnp.square(x2f - mu2), axis=-1, keepdims=True)
+        rstd2 = jax.lax.rsqrt(var2 + LN_EPS)
+        xhat2 = (x2f - mu2) * rstd2
+        xn2 = (xhat2 * ln2w + ln2b).astype(io)
+        pre = _mm(xn2, w1_ref[:, :])                     # [hw, 2D] f32
+        hid = jax.nn.relu(pre).astype(io)
+        y = (_mm(hid, w2_ref[:, :]).astype(io) + x2)
+
+        dout = do_ref[vi].reshape(h * w, C)              # io
+        dy = _dgen(dout, wlin_ref[:, :], ((1,), (1,)))   # [hw, D] f32
+        a_wlin = a_wlin + _dgen(y, dout, ((0,), (0,)))
+        dy_io = dy.astype(io)
+        dhid = _dgen(dy_io, w2_ref[:, :], ((1,), (1,)))  # [hw, 2D]
+        a_w2 = a_w2 + _dgen(hid, dy_io, ((0,), (0,)))
+        dpre_io = jnp.where(pre > 0, dhid, 0.0).astype(io)
+        a_w1 = a_w1 + _dgen(xn2, dpre_io, ((0,), (0,)))
+        dxn2 = _dgen(dpre_io, w1_ref[:, :], ((1,), (1,)))
+        dln2w = jnp.sum(dxn2 * xhat2, axis=0, keepdims=True)
+        dln2b = jnp.sum(dxn2, axis=0, keepdims=True)
+        dxh2 = dxn2 * ln2w
+        dx2 = dy + rstd2 * (
+            dxh2 - jnp.mean(dxh2, axis=-1, keepdims=True)
+            - xhat2 * jnp.mean(dxh2 * xhat2, axis=-1, keepdims=True))
+        dx2_io = dx2.astype(io)
+        dattn = _dgen(dx2_io, wo_ref[:, :], ((1,), (1,)))
+        a_wo = a_wo + _dgen(attn_f, dx2_io, ((0,), (0,)))
+        dattn_img = dattn.astype(io).reshape(h, w, D)
+        dtok = dx2                                       # residual, f32
+
+        # ---- attention backward per tile (spa_attn_hp identities) ----
+        dkpad_s[:, :, :] = jnp.zeros_like(dkpad_s)
+        dvpad_s[:, :, :] = jnp.zeros_like(dvpad_s)
+        seg = seg_ref[:, :]                              # [H, H*KB]
+        for ti in range(h // th):
+            for tj in range(w // tw):
+                t_idx = ti * n_tw + tj
+                ysl = slice(ti * th, ti * th + hl_h)
+                xsl = slice(tj * tw, tj * tw + hl_w)
+                q_t = q_img[ti * th:(ti + 1) * th,
+                            tj * tw:(tj + 1) * tw, :].reshape(nq, D)
+                do_t = dattn_img[ti * th:(ti + 1) * th,
+                                 tj * tw:(tj + 1) * tw, :].reshape(nq, D)
+                k_rep = _replicate(
+                    kpad_s[ysl, xsl, :].reshape(nk, D), hm_ref,
+                    num_heads, KB)
+                v_rep = _replicate(
+                    vpad_s[ysl, xsl, :].reshape(nk, D), hm_ref,
+                    num_heads, KB)
+                s = (_dgen(q_t, k_rep, ((1,), (1,))) * scale
+                     + mask_ref[:, :])
+                m_b = jnp.dot(ml_s[0, t_idx], seg,
+                              preferred_element_type=f32)
+                inv_b = jnp.dot(1.0 / ml_s[1, t_idx], seg,
+                                preferred_element_type=f32)
+                a_f = jnp.exp(s - m_b) * inv_b           # [nq, H*KB]
+                dov = _dgen(do_t, v_rep, ((1,), (1,)))
+                Dt = _seg(a_f * dov, num_heads, KB, segt_ref)
+                D_b = jnp.dot(Dt, seg, preferred_element_type=f32)
+                ds = (a_f * (dov - D_b) * scale).astype(io)
+                a_io = a_f.astype(io)
+                dq_s[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw, :] = (
+                    _dgen(ds, k_rep, ((1,), (0,))).reshape(th, tw, D))
+                dk_rep = _dgen(ds, q_t, ((0,), (0,)))    # [H*KB, D]
+                dv_rep = _dgen(a_io, do_t, ((0,), (0,)))
+                dk_t = jnp.zeros((nk, D), f32)
+                dv_t = jnp.zeros((nk, D), f32)
+                for hd in range(num_heads):
+                    hmv = hm_f[hd:hd + 1, :]
+                    dk_t = dk_t + dk_rep[hd * KB:hd * KB + nk] * hmv
+                    dv_t = dv_t + dv_rep[hd * KB:hd * KB + nk] * hmv
+                dkpad_s[ysl, xsl, :] = (dkpad_s[ysl, xsl, :]
+                                        + dk_t.reshape(hl_h, hl_w, D))
+                dvpad_s[ysl, xsl, :] = (dvpad_s[ysl, xsl, :]
+                                        + dv_t.reshape(hl_h, hl_w, D))
+
+        # ---- projections, LN1, tokenization backward ----
+        dq_io = dq_s[:, :, :].reshape(h * w, D).astype(io)
+        dk_io = dkpad_s[r:r + h, r:r + w, :].reshape(h * w, D).astype(io)
+        dv_io = dvpad_s[r:r + h, r:r + w, :].reshape(h * w, D).astype(io)
+        dxn = (_dgen(dq_io, wqk_ref[:, :D], ((1,), (1,)))
+               + _dgen(dk_io, wqk_ref[:, D:], ((1,), (1,))))
+        a_wqk = a_wqk + _dgen(
+            xn, jnp.concatenate([dq_io, dk_io], axis=1), ((0,), (0,)))
+        dtok = dtok + _dgen(dv_io, wv_ref[:, :], ((1,), (1,)))
+        a_wv = a_wv + _dgen(tok, dv_io, ((0,), (0,)))
+        dln1w = jnp.sum(dxn * xhat1, axis=0, keepdims=True)
+        dln1b = jnp.sum(dxn, axis=0, keepdims=True)
+        a_ln = a_ln + jnp.concatenate([dln1w, dln1b, dln2w, dln2b], axis=0)
+        dxh1 = dxn * ln1w
+        dtokpe = rstd1 * (
+            dxh1 - jnp.mean(dxh1, axis=-1, keepdims=True)
+            - xhat1 * jnp.mean(dxh1 * xhat1, axis=-1, keepdims=True))
+        dtok = dtok + dtokpe
+        a_pe = a_pe + dtokpe
+        dtok_io = dtok.astype(io)
+        dxpad_s[:, :, :] = jnp.zeros_like(dxpad_s)
+        for t9 in range(9):
+            ky, kx = t9 // 3, t9 % 3
+            a_wu[t9] = a_wu[t9] + _dgen(
+                xpad_s[ky:ky + h, kx:kx + w, :].reshape(h * w, C),
+                dtok_io, ((0,), (0,)))
+            dxpad_s[ky:ky + h, kx:kx + w, :] = (
+                dxpad_s[ky:ky + h, kx:kx + w, :]
+                + _dgen(dtok_io, wu_ref[t9], ((1,), (1,))).reshape(h, w, C))
+        dx_ref[vi] = dxpad_s[1:1 + h, 1:1 + w, :].astype(io)
+
+    dpe_ref[:, :, :] = dpe_ref[:, :, :] + a_pe.reshape(h, w, D)
+    dln_ref[:, :] = dln_ref[:, :] + a_ln
+    dwu_ref[:, :, :] = dwu_ref[:, :, :] + jnp.stack(a_wu)
+    dwqk_ref[:, :] = dwqk_ref[:, :] + a_wqk
+    dwv_ref[:, :] = dwv_ref[:, :] + a_wv
+    dwo_ref[:, :] = dwo_ref[:, :] + a_wo
+    dw1_ref[:, :] = dw1_ref[:, :] + a_w1
+    dw2_ref[:, :] = dw2_ref[:, :] + a_w2
+    dwlin_ref[:, :] = dwlin_ref[:, :] + a_wlin
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def spa_block_core(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
+                   num_heads, k):
+    """Differentiable fused SpaTrans block on view-major [B, h, w, C]
+    images. Weights are the kernel-layout tensors from `_prep`; ln is
+    [4, D] = (norm.w, norm.b, ffn_ln.w, ffn_ln.b). pe_tok (the PE after
+    unfold+MLP) receives a REAL cotangent -- it carries MLP.weight
+    dependence (reference model/LFT.py:180)."""
+    return _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t,
+                     wlin_t, num_heads, k)
+
+
+def _spa_vjp_fwd(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
+                 num_heads, k):
+    out = _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t,
+                    wlin_t, num_heads, k)
+    return out, (x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t)
+
+
+def _spa_vjp_bwd(num_heads, k, res, dout):
+    x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t = res
+    B, h, w, C = x.shape
+    D = wu.shape[-1]
+    r = k // 2
+    from lft_tpu.kernels.common import bwd_io_dtype
+    io = bwd_io_dtype(x.dtype)
+    th, tw, KB = pick_hp_geometry(h, w, num_heads, k)
+    n_tiles = (h // th) * (w // tw)
+    nq = th * tw
+    mask, npad, hm = (jnp.asarray(c) for c in
+                      _np_consts(th, tw, r, h, w, num_heads, D, KB))
+    segt = jnp.asarray(_np_segsum_matrix(num_heads, KB))
+    from lft_tpu.kernels.ang_attn_mxu import _seg_bcast_matrix
+    seg = jnp.asarray(_seg_bcast_matrix(num_heads, KB))
+    hm = hm.astype(io)
+    f32 = jnp.float32
+
+    V = int(os.environ.get("LFT_SPAB_BWD_VPS", "1") or 1)
+    pad_b = (-B) % V
+    x_p = jnp.pad(x.astype(io), [(0, pad_b)] + [(0, 0)] * 3) if pad_b \
+        else x.astype(io)
+    do_p = jnp.pad(dout.astype(io), [(0, pad_b)] + [(0, 0)] * 3) if pad_b \
+        else dout.astype(io)
+    Bp = B + pad_b
+
+    full = lambda *dims: pl.BlockSpec(dims, lambda i: (0,) * len(dims),
+                                      memory_space=pltpu.VMEM)
+    img = pl.BlockSpec((V, h, w, C), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    kernel = functools.partial(_bwd_kernel, h=h, w=w, th=th, tw=tw, r=r,
+                               KB=KB, num_heads=num_heads)
+    scratch = [pltpu.VMEM((h + 2, w + 2, C), io),          # xpad
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),  # kpad
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),  # vpad
+               pltpu.VMEM((h, w, D), io),                  # attn
+               pltpu.VMEM((h, w, D), f32),                 # dq
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), f32),  # dkpad
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), f32),  # dvpad
+               pltpu.VMEM((h + 2, w + 2, C), f32),         # dxpad
+               pltpu.VMEM((2, n_tiles, nq, num_heads), f32)]  # m, l
+    acc = lambda shp: jax.ShapeDtypeStruct(shp, f32)
+    interpret = jax.devices()[0].platform != "tpu"
+    outs = pl.pallas_call(
+        kernel, interpret=interpret, grid=(Bp // V,),
+        in_specs=[full(nq, num_heads * KB),
+                  full(n_tiles, nq, num_heads),
+                  full(num_heads * KB, num_heads),
+                  full(num_heads, num_heads * KB),
+                  full(num_heads, D), full(4, D), full(h, w, D),
+                  full(9, C, D), full(D, 2 * D), full(D, D), full(D, D),
+                  full(D, 2 * D), full(2 * D, D), full(D, C), img, img],
+        out_specs=(img, full(h, w, D), full(4, D), full(9, C, D),
+                   full(D, 2 * D), full(D, D), full(D, D), full(D, 2 * D),
+                   full(2 * D, D), full(D, C)),
+        out_shape=(jax.ShapeDtypeStruct((Bp, h, w, C), io),
+                   acc((h, w, D)), acc((4, D)), acc((9, C, D)),
+                   acc((D, 2 * D)), acc((D, D)), acc((D, D)),
+                   acc((D, 2 * D)), acc((2 * D, D)), acc((D, C))),
+        scratch_shapes=scratch,
+    )(mask, npad, segt, seg, hm, ln.astype(f32),
+      pe_tok.astype(io), wu.astype(io), wqk.astype(io), wv_t.astype(io),
+      wo_t.astype(io), w1_t.astype(io), w2_t.astype(io), wlin_t.astype(io),
+      x_p, do_p)
+    dx, dpe, dln, dwu, dwqk, dwv, dwo, dw1, dw2, dwlin = outs
+    c = lambda g, t: g.astype(t.dtype)
+    return (dx[:B].astype(x.dtype), c(dpe, pe_tok), c(dln, ln), c(dwu, wu),
+            c(dwqk, wqk), c(dwv, wv_t), c(dwo, wo_t), c(dw1, w1_t),
+            c(dw2, w2_t), c(dwlin, wlin_t))
+
+
+spa_block_core.defvjp(_spa_vjp_fwd, _spa_vjp_bwd)
+
+
+def spa_trans_block_fused(x, pe_tok, params, prefix, num_heads: int,
+                          k: int, pixel_major: bool = False):
+    """Run the whole SpaTrans block on view images.
+
+    x:      [B, h, w, C] view images (folded batch*A2), or with
+            `pixel_major=True` a [Bb, h, w, A2, C] pixel-major buffer --
+            each (batch, view) plane is DMA-gathered straight out of the
+            strided layout (squeezed BlockSpec dim), so the fused
+            pixel-major forward never materializes a view-major transpose;
+    pe_tok: [h, w, D] the PE passed through unfold+MLP (computed outside,
+            it is view-independent; its cotangent carries the MLP.weight
+            dependence back to the caller);
+    params/prefix: the flat param dict and `altblock.{i}.spa_trans.`.
+    Returns the same shape as `x`. The view-major form is differentiable
+    (custom VJP, one fused recompute+backward kernel); the pixel-major
+    form stays inference-only.
+    """
+    wts = _prep(params, prefix)
+    if pixel_major:
+        return _fwd_call(x, pe_tok, *wts, num_heads, k, pixel_major=True)
+    return spa_block_core(x, pe_tok, *wts, num_heads, k)

@@ -199,9 +199,10 @@ def _spa_trans(x: jnp.ndarray, p: Dict[str, jnp.ndarray], prefix: str,
     """Spatial transformer over [B, A2, h, w, C]
     (reference model/LFT.py:118-191).
 
-    `fused=True` (inference-only; no VJP) runs the whole block -- unfold
-    conv, PE add, LayerNorm, projections, windowed attention, residuals,
-    FFN, Token2SAI -- as ONE Pallas kernel (kernels/spa_block.py)."""
+    `fused=True` runs the whole block -- unfold conv, PE add, LayerNorm,
+    projections, windowed attention, residuals, FFN, Token2SAI -- as ONE
+    Pallas kernel (kernels/spa_block.py); differentiable via its fused
+    recompute+backward custom VJP."""
     B, A2, h, w, C = x.shape
     img = x.reshape(B * A2, h, w, C)
     if fused:
@@ -250,10 +251,11 @@ def forward(params: Dict[str, jnp.ndarray], lr: jnp.ndarray, args,
     stack-allocate the attention kernels' outputs in scoped VMEM, which
     overflows the 16 MB budget for small-channel configs on real TPUs.
 
-    `fused=True` (inference-only: no VJP -- never differentiate through
-    it) runs each whole SpaTrans block as one Pallas kernel
-    (kernels/spa_block.py) where the geometry allows; the tiled-inference
-    pipeline enables it on real TPUs."""
+    `fused=True` runs each whole transformer block as one Pallas kernel
+    (kernels/{spa,ang}_block.py) where the geometry allows; the
+    tiled-inference pipeline enables it on real TPUs, and the trainer
+    enables it for bf16 TPU training (the blocks carry fused
+    recompute+backward custom VJPs, so remat is redundant with it)."""
     A = args.angRes
     S = args.scale_factor
     C = args.channels
@@ -308,8 +310,9 @@ def _forward_body(params, lr, args, impl, compute_dtype, remat=True,
                  and ang_block_applicable(A * A))
 
     if fused:
-        # inference fast path: both transformer halves of every AltFilter
-        # run as single Pallas kernels. The angular kernel consumes
+        # fused fast path (inference AND bf16 training): both transformer
+        # halves of every AltFilter run as single Pallas kernels (with
+        # fused recompute+backward custom VJPs). The angular kernel consumes
         # pixel-major [N, A2, C] tokens (its pixel groups are contiguous
         # rows there); the surrounding transposes are the SAME two the
         # unfused _ang_trans pays, so this strictly removes the XLA-side

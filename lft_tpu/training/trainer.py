@@ -34,8 +34,38 @@ from lft_tpu.utils.checkpoint import (load_checkpoint, save_checkpoint,
                                       validate_params)
 
 
+# One fused device concat per dtype group; keyed on the leaf-structure so
+# the trace is reused across epochs.
+_concat_flat = jax.jit(lambda ls: jnp.concatenate([x.reshape(-1) for x in ls]))
+
+
+def device_fetch_tree(tree):
+    """Pytree of device arrays -> host numpy, via ONE device computation
+    and one transfer per dtype group. The per-tensor `np.asarray` loop is
+    pathological on tunneled transports: every fetch is a serialized
+    round trip (237-tensor checkpoint measured ~120 s vs ~2 s packed)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    by_dt: Dict = {}
+    for i, leaf in enumerate(leaves):
+        by_dt.setdefault(jnp.dtype(leaf.dtype), []).append(i)
+    out = [None] * len(leaves)
+    for idxs in by_dt.values():
+        group = [leaves[i] for i in idxs]
+        if len(group) == 1:
+            out[idxs[0]] = np.asarray(group[0])
+            continue
+        np_flat = np.asarray(_concat_flat(group))
+        off = 0
+        for i in idxs:
+            n = int(np.prod(leaves[i].shape, dtype=np.int64)) if \
+                leaves[i].shape else 1
+            out[i] = np_flat[off:off + n].reshape(leaves[i].shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def flatten_opt_state(opt_state) -> Dict[str, np.ndarray]:
-    leaves = jax.tree_util.tree_leaves(opt_state)
+    leaves = device_fetch_tree(jax.tree_util.tree_leaves(opt_state))
     return {f"leaf{i:04d}": np.asarray(l) for i, l in enumerate(leaves)}
 
 
@@ -58,11 +88,27 @@ def make_train_step(model, optimizer, args, with_metrics: bool = True) -> Callab
     # `--train_remat False` can skip the block-level forward recompute in
     # backward; A/B it per config (lft.forward's remat note).
     remat = getattr(args, "train_remat", True)
+    # --train_fused: run each whole transformer block as ONE Pallas kernel
+    # in forward AND backward (kernels/{spa,ang}_block.py custom VJPs).
+    # auto = TPU + bfloat16 (the f32 backward's VMEM blocks don't fit the
+    # production geometry); the forward itself additionally gates on the
+    # block kernels' geometry applicability. Fused blocks recompute
+    # internally, so the block-level remat would only replay the fused
+    # forward for nothing -- force it off.
+    tf = str(getattr(args, "train_fused", "auto")).lower()
+    if tf == "auto":
+        fused = (jax.devices()[0].platform == "tpu"
+                 and jnp.dtype(getattr(args, "dtype", "float32"))
+                 == jnp.bfloat16)
+    else:
+        fused = tf in ("true", "1", "yes")
+    if fused:
+        remat = False
 
     def loss_fn(params, data, label):
         # the fused Pallas kernels carry custom VJPs, so every impl
         # (incl. 'auto' -> pallas on TPU) is trainable
-        sr = model.apply(params, data, args, remat=remat)
+        sr = model.apply(params, data, args, remat=remat, fused=fused)
         return model.loss(sr, label), sr
 
     def step(params, opt_state, data, label):
@@ -114,7 +160,11 @@ def fit(args, logger=None, step_builder=None, dataset: Optional[TrainDataset] = 
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
     optimizer = make_optimizer(args, steps_per_epoch)
 
-    params = model.init(jax.random.PRNGKey(args.seed), args)
+    # jit the init: unjitted, each of the ~237 param tensors is a separate
+    # eager computation -- harmless locally, but ~0.5 s/op if a tunneled
+    # transport later forces them one by one (checkpoint save)
+    params = jax.jit(lambda key: model.init(key, args))(
+        jax.random.PRNGKey(args.seed))
     opt_state = optimizer.init(params)
     start_epoch = 0
     if args.use_pre_pth:
@@ -157,7 +207,7 @@ def fit(args, logger=None, step_builder=None, dataset: Optional[TrainDataset] = 
             path = "%s/%s_%dx%d_%dx_epoch_%02d_model.%s" % (
                 checkpoints_dir, args.model_name, args.angRes, args.angRes,
                 args.scale_factor, epoch + 1, ext)
-            np_params = {k: np.asarray(v) for k, v in params.items()}
+            np_params = device_fetch_tree(params)
             if ext == "pth":
                 from lft_tpu.utils.checkpoint import params_to_pth
                 params_to_pth(np_params, path, epoch=epoch + 1)

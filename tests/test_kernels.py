@@ -357,3 +357,105 @@ def test_ang_block_fused_matches_unfused():
     got = got.reshape(B, h, w, A2, C).transpose(0, 3, 1, 2, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_spa_block_fused_grad_matches_unfused():
+    """Gradients THROUGH the fused whole-SpaTrans-block kernel (its custom
+    recompute+backward VJP, kernels/spa_block.py) vs XLA autodiff of the
+    unfused path -- every weight (incl. MLP.weight via the pe_tok
+    cotangent, reference model/LFT.py:180) and the block input."""
+    import lft_tpu.models.lft as lft_mod
+    from lft_tpu.config import Args
+    from lft_tpu.ops.posenc import spatial_position
+    args = Args(angRes=5, scale_factor=2, channels=64, model_name="LFT")
+    params = lft_mod.init_params(jax.random.PRNGKey(0), args)
+    C, h, w, B = 64, 16, 16, 3
+    prefix = "altblock.1.spa_trans."
+    x = _rand((1, B, h, w, C), 60)
+    spa_pe = jnp.asarray(spatial_position(h, w, C))
+    sub = {k: params[k] for k in params if k.startswith(prefix)}
+
+    def loss(sub, x_, fused):
+        p = dict(params)
+        p.update(sub)
+        out = lft_mod._spa_trans(x_, p, prefix, spa_pe, "tiled", fused=fused)
+        return jnp.sum(out * jnp.cos(out))
+
+    (g1, gx1) = jax.grad(loss, argnums=(0, 1))(sub, x, False)
+    (g2, gx2) = jax.grad(loss, argnums=(0, 1))(sub, x, True)
+    for k in g1:
+        scale = float(jnp.max(jnp.abs(g1[k]))) + 1e-9
+        assert float(jnp.max(jnp.abs(g1[k] - g2[k]))) / scale < 5e-4, k
+    scale = float(jnp.max(jnp.abs(gx1))) + 1e-9
+    assert float(jnp.max(jnp.abs(gx1 - gx2))) / scale < 5e-4
+
+
+def test_ang_block_fused_grad_matches_unfused():
+    """Gradients THROUGH the fused whole-AngTrans-block kernel (its custom
+    recompute+backward VJP, kernels/ang_block.py) vs XLA autodiff of the
+    unfused path. B*h*w = 128 is NOT a multiple of the backward's G*GPS,
+    so the zero-padded-tail accumulator path is exercised."""
+    import lft_tpu.models.lft as lft_mod
+    from lft_tpu.config import Args
+    from lft_tpu.kernels.ang_block import ang_trans_block_fused
+    from lft_tpu.ops.posenc import angular_position
+    args = Args(angRes=5, scale_factor=2, channels=64, model_name="LFT")
+    params = lft_mod.init_params(jax.random.PRNGKey(2), args)
+    C, h, w, B, A2 = 64, 8, 8, 2, 25
+    prefix = "altblock.2.ang_trans."
+    x = _rand((B, A2, h, w, C), 70)
+    ang_pe = jnp.asarray(angular_position(A2, C))
+    sub = {k: params[k] for k in params if k.startswith(prefix)}
+
+    def loss_ref(sub, x_):
+        p = dict(params)
+        p.update(sub)
+        out = lft_mod._ang_trans(x_, p, prefix, ang_pe, impl="xla")
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_fused(sub, x_):
+        p = dict(params)
+        p.update(sub)
+        toks = x_.transpose(0, 2, 3, 1, 4).reshape(B * h * w, A2, C)
+        out = ang_trans_block_fused(toks, ang_pe, p, prefix, 8)
+        out = out.reshape(B, h, w, A2, C).transpose(0, 3, 1, 2, 4)
+        return jnp.sum(out * jnp.cos(out))
+
+    (g1, gx1) = jax.grad(loss_ref, argnums=(0, 1))(sub, x)
+    (g2, gx2) = jax.grad(loss_fused, argnums=(0, 1))(sub, x)
+    for k in g1:
+        scale = float(jnp.max(jnp.abs(g1[k]))) + 1e-9
+        assert float(jnp.max(jnp.abs(g1[k] - g2[k]))) / scale < 5e-4, k
+    scale = float(jnp.max(jnp.abs(gx1))) + 1e-9
+    assert float(jnp.max(jnp.abs(gx1 - gx2))) / scale < 5e-4
+
+
+@pytest.mark.slow
+def test_model_grad_fused_blocks_production_geometry():
+    """End-to-end model gradients through forward(fused=True) -- the bf16
+    TPU train configuration's graph, at the production 32x32 patch
+    geometry -- vs the unfused XLA tiled path (f32 on CPU interpret)."""
+    import jax
+    from lft_tpu.config import Args
+    from lft_tpu.models import lft
+    args = Args(angRes=5, scale_factor=2, channels=64)
+    p = lft.init_params(jax.random.PRNGKey(0), args)
+    x = _rand((1, 1, 5 * 32, 5 * 32), 28) + 0.5
+    y = _rand((1, 1, 5 * 64, 5 * 64), 29) + 0.5
+
+    def loss(p, fused):
+        # smooth loss, not L1: d|.|/dx = sign() flips on f32-rounding-level
+        # forward differences between the two paths, which would dominate
+        # the comparison with noise unrelated to the VJPs under test
+        sr = lft.forward(p, x, args, attention_impl="tiled", remat=False,
+                         fused=fused)
+        return jnp.mean((sr - y) * jnp.cos(3.0 * (sr - y)))
+
+    g1 = jax.grad(lambda p: loss(p, False))(p)
+    g2 = jax.grad(lambda p: loss(p, True))(p)
+    for k in g1:
+        scale = float(jnp.max(jnp.abs(g1[k]))) + 1e-9
+        diff = float(jnp.max(jnp.abs(g1[k] - g2[k])))
+        # absolute floor: deep LN-affine grads through 4 blocks are ~1e-6
+        # -- a pure relative bound amplifies f32 rounding noise
+        assert diff < 5e-4 * scale + 2e-9, (k, diff, scale)

@@ -45,8 +45,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--remat", type=lambda s: s.lower() not in
                     ("false", "0", "no"), default=True)
-    ap.add_argument("--fused_train", type=lambda s: s.lower() not in
-                    ("false", "0", "no"), default=None,
+    ap.add_argument("--train_fused", default=None,
+                    choices=("auto", "true", "false"),
                     help="force the fused-block train path on/off")
     ns = ap.parse_args()
 
@@ -57,8 +57,8 @@ def main():
     from lft_tpu.training.trainer import make_train_step
 
     kw = {}
-    if ns.fused_train is not None:
-        kw["fused_train"] = ns.fused_train
+    if ns.train_fused is not None:
+        kw["train_fused"] = ns.train_fused
     args = Args(angRes=5, scale_factor=ns.scale, channels=64,
                 batch_size=ns.batch, dtype=ns.dtype, train_remat=ns.remat,
                 **kw)
@@ -67,8 +67,15 @@ def main():
     lr_b, hr_b = synth_batch(jax.random.PRNGKey(1), batch=ns.batch,
                              ang_res=5, patch=ns.patch, scale=ns.scale)
 
+    # mirror make_train_step's train_fused resolution so fwd/grad measure
+    # the same path the production step runs
+    tf = str(args.train_fused).lower()
+    fused = (jax.devices()[0].platform == "tpu" and ns.dtype == "bfloat16") \
+        if tf == "auto" else tf in ("true", "1", "yes")
+    remat = False if fused else args.train_remat
+
     def loss_fn(p, data, label):
-        sr = model.apply(p, data, args, remat=args.train_remat)
+        sr = model.apply(p, data, args, remat=remat, fused=fused)
         return model.loss(sr, label)
 
     fwd = jax.jit(loss_fn)
