@@ -58,11 +58,14 @@ class Args:
     matmul_precision: str = "default"  # default | high | highest
     attention_impl: str = "auto"      # auto | dense | tiled | pallas
     eval_batch: int = 16              # patches per device batch in tiled eval
-    eval_bucket: int = 0              # round scene sizes up to this LR-pixel
-                                      # quantum: O(buckets) compiles, same output
-    scene_batch: int = 1              # same-shape scenes per eval jit dispatch
+    eval_bucket: int = -1             # round scene sizes up to this LR-pixel
+                                      # quantum: O(buckets) compiles, same
+                                      # output. -1 = auto (32 on TPU, off
+                                      # elsewhere); 0 disables
+    scene_batch: int = -1             # same-shape scenes per eval jit dispatch
                                       # (amortizes dispatch overhead; output-
-                                      # identical to per-scene dispatch)
+                                      # identical to per-scene dispatch).
+                                      # -1 = auto (8 on TPU, 1 elsewhere)
     num_devices: Optional[int] = None  # data-parallel devices (None = all)
     coordinator: str = ""             # multi-host: coordinator host:port
     num_processes: int = 1            # multi-host: total process count
@@ -133,11 +136,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_bucket", type=int, default=d.eval_bucket,
                    help="pad scene geometry to multiples of this many LR "
                         "pixels so a multi-dataset sweep compiles once per "
-                        "bucket (0 = exact sizes); outputs are identical")
+                        "bucket (0 = exact sizes, -1 = auto: 32 on TPU); "
+                        "outputs are identical")
     p.add_argument("--scene_batch", type=int, default=d.scene_batch,
                    help="same-shape scenes SR'd per jit dispatch in eval "
                         "(amortizes per-dispatch overhead on tunneled or "
-                        "small-scene workloads; outputs are identical)")
+                        "small-scene workloads; outputs are identical; "
+                        "-1 = auto: 8 on TPU, 1 elsewhere)")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--coordinator", type=str, default=d.coordinator,
                    help="multi-host training: coordination-service address "

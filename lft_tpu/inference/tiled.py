@@ -64,21 +64,18 @@ def make_scene_sr(model_apply, args, h0: int, w0: int,
         rep = NamedSharding(mesh, P())
 
     # inference never needs rematerialization (see lft.forward's remat
-    # note) and, on real TPUs, runs each SpaTrans block as one fused
-    # Pallas kernel (kernels/spa_block.py -- inference-only, no VJP)
-    import inspect
-    try:
-        sig = inspect.signature(model_apply)
-        has_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
-                     for p in sig.parameters.values())
-        no_remat = {}
-        if "remat" in sig.parameters or has_kw:
-            no_remat["remat"] = False
-        if ("fused" in sig.parameters or has_kw) \
-                and jax.devices()[0].platform == "tpu":
-            no_remat["fused"] = True
-    except (TypeError, ValueError):
-        no_remat = {}
+    # note) and, on real TPUs, runs each transformer block as one fused
+    # Pallas kernel (kernels/{spa,ang}_block.py). Gated on the model's
+    # DECLARED capabilities (ModelDef.capabilities), not signature
+    # sniffing: a second registered model accepting **kw must not
+    # silently inherit LFT's fast-path flags.
+    from lft_tpu.registry import capabilities_of
+    caps = capabilities_of(model_apply)
+    no_remat = {}
+    if "remat" in caps:
+        no_remat["remat"] = False
+    if "fused" in caps and jax.devices()[0].platform == "tpu":
+        no_remat["fused"] = True
 
     def run_chunk(params, chunk):
         if mesh is not None:
@@ -145,11 +142,21 @@ class ScenePipelineCache:
     """
 
     def __init__(self, model_apply, args, eval_batch: Optional[int] = None,
-                 mesh=None, bucket: int = 0, scene_batch: int = 1):
+                 mesh=None, bucket: Optional[int] = None,
+                 scene_batch: Optional[int] = None):
         self.model_apply = model_apply
         self.args = args
         self.eval_batch = eval_batch
         self.mesh = mesh
+        # None / negative = auto: on real TPUs default to the bench-grade
+        # configuration (scene batching + bucketing won the round-3
+        # dispatch-amortization gains and both are output-identical); off
+        # elsewhere. Explicit 0/1 still mean "disabled".
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if bucket is None or bucket < 0:
+            bucket = 32 if on_tpu else 0
+        if scene_batch is None or scene_batch < 0:
+            scene_batch = 8 if on_tpu else 1
         self.bucket = bucket or 0
         self.scene_batch = max(scene_batch, 1)
         self._cache = {}
@@ -237,7 +244,10 @@ def evaluate_dataset(model_apply, params, args, dataset, cache=None,
     f32 scene is tens of MB and this host's device transfers are slow."""
     import concurrent.futures as _fut
     from lft_tpu.ops.metrics import cal_metrics
-    cache = cache or ScenePipelineCache(model_apply, args)
+    cache = cache or ScenePipelineCache(
+        model_apply, args, eval_batch=getattr(args, "eval_batch", None),
+        bucket=getattr(args, "eval_bucket", None),
+        scene_batch=getattr(args, "scene_batch", None))
     n = len(dataset)
     sb = getattr(cache, "scene_batch", 1) or 1
 

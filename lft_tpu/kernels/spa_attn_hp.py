@@ -476,6 +476,16 @@ def _vjp_bwd(num_heads, k, res, dout):
     seg = jnp.asarray(_seg_bcast_matrix(num_heads, KB))
     from lft_tpu.kernels.common import bwd_io_dtype
     io_dtype = bwd_io_dtype(q_img.dtype)
+    # Assert-don't-assume the dispatch invariant (common.py:bwd_io_dtype):
+    # this backward's f32 form overflows the 16 MB scoped-VMEM stack on
+    # real TPUs -- f32 runs must be routed to the tile-dense pair
+    # (spa_attn.py:_use_headpacked_pair). A new dispatch path that forgot
+    # the pairing would otherwise fail as an inscrutable Mosaic OOM, or
+    # worse, tempt a silent bf16 downgrade of f32 gradients.
+    if jax.devices()[0].platform == "tpu" and io_dtype != jnp.bfloat16:
+        raise AssertionError(
+            "head-packed spatial backward requires bf16 I/O on TPU; the "
+            "dispatcher must pick the tile-dense pair for f32 runs")
     hm = hm.astype(io_dtype)
     q_p = _pad_views(q_img.astype(io_dtype), pad_b)
     kp = _pad_views(k_img.astype(io_dtype), pad_b, r)

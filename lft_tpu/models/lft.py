@@ -435,4 +435,5 @@ def l1_loss(sr: jnp.ndarray, hr: jnp.ndarray) -> jnp.ndarray:
 
 
 LFT = register_model(ModelDef(name="LFT", init=init_params, apply=forward,
-                              loss=l1_loss))
+                              loss=l1_loss,
+                              capabilities=frozenset({"remat", "fused"})))

@@ -28,11 +28,25 @@ class ModelDef:
     apply: Callable[..., Any]
     loss: Callable[..., Any]
     param_count: Callable[[Any], int] = lambda p: sum(int(v.size) for v in p.values())
+    # declared optional `apply` keywords the drivers may pass ("remat",
+    # "fused", ...). Declared, not sniffed: a second model accepting **kw
+    # must not silently inherit another model's fast-path flags.
+    capabilities: frozenset = frozenset()
 
 
 def register_model(model: ModelDef) -> ModelDef:
     MODEL_REGISTRY[model.name] = model
     return model
+
+
+def capabilities_of(apply_fn) -> frozenset:
+    """Capability set declared by the registered model that owns
+    `apply_fn`; empty for unregistered callables (wrappers, test stubs) --
+    drivers then pass no optional keywords at all."""
+    for m in MODEL_REGISTRY.values():
+        if m.apply is apply_fn:
+            return m.capabilities
+    return frozenset()
 
 
 def get_model(args) -> ModelDef:

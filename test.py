@@ -48,8 +48,8 @@ def main(args):
         logger.log_string(f"Sharded tiled inference over mesh {mesh}")
     cache = ScenePipelineCache(model.apply, args, eval_batch=args.eval_batch,
                                mesh=mesh,
-                               bucket=getattr(args, "eval_bucket", 0),
-                               scene_batch=getattr(args, "scene_batch", 1))
+                               bucket=getattr(args, "eval_bucket", None),
+                               scene_batch=getattr(args, "scene_batch", None))
 
     logger.log_string("\nStart test...")
     if args.profile_dir:
