@@ -190,8 +190,16 @@ def main(argv=None):
 
     log("evaluating final checkpoint with stock test.py")
     eval_out = run_eval(ns, final_a, os.path.join(out, "log_eval"))
-    psnr_ssim = re.findall(
-        r"psnr[:=\s]+([0-9.]+).*?ssim[:=\s]+([0-9.]+)", eval_out, re.I | re.S)
+    scenes = re.findall(r"(scene_\d+): psnr/ssim ([0-9.]+)/([0-9.]+)",
+                        eval_out)
+    mean = re.search(r"Mean over datasets: psnr/ssim is ([0-9.]+)/([0-9.]+)",
+                     eval_out)
+    psnr_ssim = {
+        "per_scene": {s: [float(p), float(ss)] for s, p, ss in scenes},
+        "mean": [float(mean.group(1)), float(mean.group(2))] if mean
+        else None,
+        "note": "stock test.py on the held-out synthetic scenes (log_eval/)",
+    }
 
     result = {
         "workload": f"reference training recipe end-to-end at the flagship "
