@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -86,6 +87,16 @@ def main():
         sys.exit(2)
 
     import jax
+    # persistent XLA compilation cache: the bench's f32 baseline-leg
+    # compile alone takes ~6-7 min of host CPU on this 1-core box; cache
+    # it across bench invocations so only the first run pays
+    cache_dir = os.environ.get(
+        "LFT_XLA_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".xla_cache"))
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
     from lft_tpu.config import Args
     from lft_tpu.registry import get_model
@@ -180,6 +191,21 @@ def main():
             "on_device_metrics": True,
         }
 
+    # quality leash on the headline number: the shipping (bf16 + fused
+    # blocks) accuracy vs the f32-exact path, from the committed
+    # tools/parity_bf16.py artifact (re-run it after kernel changes)
+    quality = None
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "PARITY_bf16.json")
+    if os.path.exists(art):
+        with open(art) as f:
+            q = json.load(f)
+        quality = {"psnr_delta_vs_f32": q["delta"]["psnr_mean"],
+                   "ssim_delta_vs_f32": q["delta"]["ssim_mean"],
+                   "ok": q["ok"], "source": "PARITY_bf16.json"}
+        assert q["ok"], ("shipping-config quality regression recorded in "
+                         "PARITY_bf16.json -- re-run tools/parity_bf16.py")
+
     print(json.dumps({
         "metric": "LFT 5x5 4x full-scene SR throughput (HR SAI-MPx/s/chip)",
         "value": round(value, 3),
@@ -196,6 +222,7 @@ def main():
                         f"serial batch-1 patch loop, {ns.baseline_impl} attn",
             "device": str(jax.devices()[0]),
             "train": train_detail,
+            "quality": quality,
         },
     }))
 

@@ -84,7 +84,8 @@ def _replicate(x, hm_ref, num_heads, rows):
 
 
 def _kernel(mask_ref, hm_ref, pe_ref, ln_ref, wq_ref, wk_ref, wv_ref,
-            wo_ref, w1_ref, w2_ref, x_ref, o_ref, *, num_heads):
+            wo_ref, w1_ref, w2_ref, x_ref, o_ref, *, num_heads,
+            m_ref=None, l_ref=None, attn_ref=None):
     """One grid step = GPS groups. x_ref/o_ref [GPS, rows, C] where
     rows = G*A2; pe_ref [rows, C] f32 (ang_pe tiled across the group's
     pixels); mask_ref [rows, H*BLK] block-diagonal; ln_ref [4, C] f32."""
@@ -119,8 +120,13 @@ def _kernel(mask_ref, hm_ref, pe_ref, ln_ref, wq_ref, wk_ref, wv_ref,
         attn = out_raw * jnp.dot(1.0 / l,
                                  hm_ref[:, :].astype(jnp.float32),
                                  preferred_element_type=jnp.float32)
+        attn_io = attn.astype(io)
+        if m_ref is not None:
+            m_ref[g] = m + jnp.zeros((rows, num_heads), jnp.float32)
+            l_ref[g] = l
+            attn_ref[g] = attn_io
         # fused post-chain
-        x2 = _mm(attn.astype(io), wo_ref[:, :]).astype(io) + x
+        x2 = _mm(attn_io, wo_ref[:, :]).astype(io) + x
         xn2 = _ln(x2.astype(jnp.float32), ln2w, ln2b).astype(io)
         hid = jax.nn.relu(_mm(xn2, w1_ref[:, :])).astype(io)
         y = _mm(hid, w2_ref[:, :]).astype(io) + x2
@@ -162,7 +168,8 @@ def _group(x, G, GPS):
     return x_p.reshape((N + pad) // G, G * A2, C)
 
 
-def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads):
+def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads,
+              with_res: bool = False):
     N, A2, C = x.shape
     GPS = _gps()
     G = _pick_group(N, A2, GPS)
@@ -180,27 +187,59 @@ def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads):
                                      memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, num_heads=num_heads)
     interpret = jax.devices()[0].platform != "tpu"
+    wts = (mask, hm, pe_t, ln.astype(jnp.float32), wq_t.astype(io),
+           wk_t.astype(io), wv_t.astype(io), wo_t.astype(io),
+           w1_t.astype(io), w2_t.astype(io))
+    in_specs = [full(rows, num_heads * BLK), full(num_heads, C),
+                full(rows, C), full(4, C), full(C, C), full(C, C),
+                full(C, C), full(C, C), full(C, 2 * C), full(2 * C, C),
+                grp]
+    if with_res:
+        # training forward: stream out the softmax stats and attention
+        # output so the fused backward skips the fwd-attention recompute.
+        # Stats/attn are PER TOKEN, so they reshape grouping-free and the
+        # backward may regroup with a different G.
+        stat = pl.BlockSpec((GPS, rows, num_heads), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+        def kernel_res(*a):
+            ins, (o, mr, lr, ar) = a[:11], a[11:]
+            _kernel(*ins, o, num_heads=num_heads, m_ref=mr, l_ref=lr,
+                    attn_ref=ar)
+
+        out, m, l, attn = pl.pallas_call(
+            kernel_res, interpret=interpret, grid=(n_groups // GPS,),
+            in_specs=in_specs,
+            out_specs=(grp, stat, stat, grp),
+            out_shape=(jax.ShapeDtypeStruct((n_groups, rows, C), io),
+                       jax.ShapeDtypeStruct((n_groups, rows, num_heads),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((n_groups, rows, num_heads),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((n_groups, rows, C), io)),
+        )(*wts, xg)
+        tok = lambda a, d: a.reshape(-1, A2, d)[:N]
+        return (tok(out, C), tok(m, num_heads), tok(l, num_heads),
+                tok(attn, C))
     out = pl.pallas_call(
         kernel, interpret=interpret, grid=(n_groups // GPS,),
-        in_specs=[full(rows, num_heads * BLK), full(num_heads, C),
-                  full(rows, C), full(4, C), full(C, C), full(C, C),
-                  full(C, C), full(C, C), full(C, 2 * C), full(2 * C, C),
-                  grp],
+        in_specs=in_specs,
         out_specs=grp,
         out_shape=jax.ShapeDtypeStruct((n_groups, rows, C), io),
-    )(mask, hm, pe_t, ln.astype(jnp.float32), wq_t.astype(io),
-      wk_t.astype(io), wv_t.astype(io), wo_t.astype(io), w1_t.astype(io),
-      w2_t.astype(io), xg)
+    )(*wts, xg)
     return out.reshape(-1, A2, C)[:N]
 
 
 def _bwd_kernel(mask_ref, hm_ref, seg_ref, pe_ref, ln_ref, wq_ref, wk_ref,
-                wv_ref, wo_ref, w1_ref, w2_ref, x_ref, do_ref, dx_ref,
+                wv_ref, wo_ref, w1_ref, w2_ref, x_ref, m_ref, l_ref,
+                attn_ref, do_ref, dx_ref,
                 dln_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dw1_ref,
                 dw2_ref, *, num_heads):
-    """Fused recompute + backward for the whole AngTrans block. One grid
-    step = GPS groups; weight-grad outputs have constant index maps, so
-    they live in VMEM across the (sequential) grid and flush once."""
+    """Fused backward for the whole AngTrans block, consuming the saved
+    softmax stats and attention output (no fwd-attention recompute; only
+    the flash-intrinsic score matmul remains). One grid step = GPS
+    groups; weight-grad outputs have constant index maps, so they live
+    in VMEM across the (sequential) grid and flush once."""
     C = x_ref.shape[-1]
     rows = x_ref.shape[1]
     scale = jnp.float32(float(C // num_heads) ** -0.5)
@@ -249,16 +288,12 @@ def _bwd_kernel(mask_ref, hm_ref, seg_ref, pe_ref, ln_ref, wq_ref, wk_ref,
         k_rep = _replicate(k, hm_ref, num_heads, rows)   # [H*BLK, C]
         v_rep = _replicate(v, hm_ref, num_heads, rows)
         s = _dgen(q, k_rep, ((1,), (1,))) * scale + mask_ref[:, :]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        l = _seg_sums(e, num_heads, BLK)                 # [rows, H]
-        inv = 1.0 / l
         seg = seg_ref[:, :]                              # [H, H*BLK]
-        a_f = e * jnp.dot(inv, seg, preferred_element_type=f32)
+        m_b = jnp.dot(m_ref[g], seg, preferred_element_type=f32)
+        inv_b = jnp.dot(1.0 / l_ref[g], seg, preferred_element_type=f32)
+        a_f = jnp.exp(s - m_b) * inv_b                   # [rows, H*BLK]
         hm_f = hm_ref[:, :].astype(f32)
-        attn = (_dgen(e.astype(io), v_rep, ((1,), (0,)))
-                * jnp.dot(inv, hm_f, preferred_element_type=f32))
-        attn_io = attn.astype(io)
+        attn_io = attn_ref[g]                            # saved, io
         x2 = _mm(attn_io, wo_ref[:, :]).astype(io) + x
         x2f = x2.astype(f32)
         mu2 = jnp.mean(x2f, axis=-1, keepdims=True)
@@ -350,13 +385,13 @@ def ang_block_core(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t,
 
 
 def _vjp_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads):
-    out = _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t,
-                    num_heads)
-    return out, (x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t)
+    out, m, l, attn = _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t,
+                                w2_t, num_heads, with_res=True)
+    return out, (x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, m, l, attn)
 
 
 def _vjp_bwd(num_heads, res, dout):
-    x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t = res
+    x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, m, l, attn = res
     N, A2, C = x.shape
     from lft_tpu.kernels.common import bwd_io_dtype
     io = bwd_io_dtype(x.dtype)
@@ -369,10 +404,21 @@ def _vjp_bwd(num_heads, res, dout):
     pe_t = jnp.tile(pe.astype(jnp.float32), (G, 1))
     xg = _group(x.astype(io), G, GPS)
     dog = _group(dout.astype(io), G, GPS)
+    # stats/attn were saved PER TOKEN, so regrouping with this G is free;
+    # padded tail tokens need finite stats (1/l), their grads are dropped
+    mg = _group(m, G, GPS)
+    lg = _group(l, G, GPS)
+    # _group zero-pads the tail; real softmax denominators are strictly
+    # positive, so l == 0 exactly identifies pad rows -- give them a
+    # finite 1/l (their gradients are zero anyway: dout pad rows are zero)
+    lg = jnp.where(lg == 0, 1.0, lg)
+    ag = _group(attn.astype(io), G, GPS)
     n_groups = xg.shape[0]
 
     grp = pl.BlockSpec((GPS, rows, C), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
+    stat = pl.BlockSpec((GPS, rows, num_heads), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel, num_heads=num_heads)
@@ -384,7 +430,8 @@ def _vjp_bwd(num_heads, res, dout):
         in_specs=[full(rows, num_heads * BLK), full(num_heads, C),
                   full(num_heads, num_heads * BLK), full(rows, C),
                   full(4, C), full(C, C), full(C, C), full(C, C),
-                  full(C, C), full(C, 2 * C), full(2 * C, C), grp, grp],
+                  full(C, C), full(C, 2 * C), full(2 * C, C),
+                  grp, stat, stat, grp, grp],
         out_specs=(grp, full(4, C), full(C, C), full(C, C), full(C, C),
                    full(C, C), full(C, 2 * C), full(2 * C, C)),
         out_shape=(jax.ShapeDtypeStruct((n_groups, rows, C), io),
@@ -392,7 +439,7 @@ def _vjp_bwd(num_heads, res, dout):
                    acc((C, C)), acc((C, 2 * C)), acc((2 * C, C))),
     )(mask, hm, seg, pe_t, ln.astype(f32), wq_t.astype(io),
       wk_t.astype(io), wv_t.astype(io), wo_t.astype(io), w1_t.astype(io),
-      w2_t.astype(io), xg, dog)
+      w2_t.astype(io), xg, mg, lg, ag, dog)
     dx = dx.reshape(-1, A2, C)[:N].astype(x.dtype)
     c = lambda g, w: g.astype(w.dtype)
     return (dx, jnp.zeros_like(pe), c(dln, ln), c(dwq, wq_t), c(dwk, wk_t),

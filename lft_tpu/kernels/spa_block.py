@@ -88,7 +88,7 @@ def _mm(a, b):
 def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
             wqk_ref, wv_ref, wo_ref, w1_ref, w2_ref, wlin_ref, x_ref, o_ref,
             xpad_s, kpad_s, vpad_s, attn_s, *, h, w, th, tw, r, KB,
-            num_heads):
+            num_heads, tok_ref=None, ml_ref=None, attn_ref=None):
     """One grid step = V views. x_ref [V, h, w, C]; o_ref [V, h, w, C];
     xpad_s [h+2, w+2, C] and kpad_s/vpad_s [h+2r, w+2r, D] are VMEM
     scratch reused across views and grid steps (borders zeroed once);
@@ -123,6 +123,8 @@ def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
                 xpad_s[ky:ky + h, kx:kx + w, :].reshape(h * w, C),
                 wu_ref[t9])
         tok = tok_f.astype(io)                           # [hw, D]
+        if tok_ref is not None:
+            tok_ref[vi] = tok.reshape(h, w, D)
         xn = _ln(tok_f + pe, ln1w, ln1b).astype(io)
         qk = _mm(xn, wqk_ref[:, :])                      # [hw, 2D] MXU
         q_img = qk[:, :D].astype(io).reshape(h, w, D)
@@ -155,6 +157,10 @@ def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
                 e = jnp.exp(s - m)
                 l = _seg(e, num_heads, KB, segt_ref)
                 l = l - jnp.exp(-m) * npad_ref[t_idx]
+                if ml_ref is not None:
+                    ml_ref[vi, 0, t_idx] = m + jnp.zeros(
+                        (nq, num_heads), jnp.float32)
+                    ml_ref[vi, 1, t_idx] = l
                 out_raw = jax.lax.dot_general(
                     e.astype(io), v_rep,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -165,6 +171,8 @@ def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
                 attn_s[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw, :] = (
                     attn.astype(io).reshape(th, tw, D))
 
+        if attn_ref is not None:
+            attn_ref[vi] = attn_s[:, :, :]
         # fused post-chain once per view at full [hw, *] row fill
         attn_f = attn_s[:, :, :].reshape(h * w, D)
         x2 = _mm(attn_f, wo_ref[:, :]).astype(io) + tok
@@ -218,7 +226,8 @@ def _prep(params, prefix):
 
 
 def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
-              num_heads: int, k: int, pixel_major: bool = False):
+              num_heads: int, k: int, pixel_major: bool = False,
+              with_res: bool = False):
     if pixel_major:
         Bb, h, w, A2, C = x.shape
     else:
@@ -286,6 +295,34 @@ def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
     Bp = B + pad_b
     img = lambda ch: pl.BlockSpec((V, h, w, ch), lambda i: (i, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
+    if with_res:
+        # training forward: additionally stream out the residuals the
+        # fused backward consumes -- tok (skips the 9 tokenization taps),
+        # the per-tile softmax stats (skips max/segsum recompute), and the
+        # attention output (skips the whole fwd-attention recompute).
+        # ~1.3 MB/view of extra HBM writes vs ~0.6 GMAC/view of recompute.
+        mlspec = pl.BlockSpec((V, 2, n_tiles, nq, num_heads),
+                              lambda i: (i, 0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+        def kernel_res(*a):
+            ins, (o, tokr, mlr, attnr), scr = a[:14], a[14:18], a[18:]
+            _kernel(*ins, o, *scr, h=h, w=w, th=th, tw=tw, r=r, KB=KB,
+                    num_heads=num_heads, tok_ref=tokr, ml_ref=mlr,
+                    attn_ref=attnr)
+
+        out, tok, ml, attn = pl.pallas_call(
+            kernel_res, interpret=interpret, grid=(Bp // V,),
+            in_specs=wspecs + [img(C)],
+            out_specs=(img(C), img(D), mlspec, img(D)),
+            out_shape=(jax.ShapeDtypeStruct((Bp, h, w, C), io),
+                       jax.ShapeDtypeStruct((Bp, h, w, D), io),
+                       jax.ShapeDtypeStruct((Bp, 2, n_tiles, nq, num_heads),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((Bp, h, w, D), io)),
+            scratch_shapes=scratch,
+        )(*wts, x_p)
+        return out[:B], tok[:B], ml[:B], attn[:B]
     out = pl.pallas_call(
         kernel, interpret=interpret, grid=(Bp // V,),
         in_specs=wspecs + [img(C)],
@@ -296,17 +333,21 @@ def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
     return out[:B]
 
 
-def _bwd_kernel(mask_ref, npad_ref, segt_ref, seg_ref, hm_ref, ln_ref,
+def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
                 pe_ref, wu_ref, wqk_ref, wv_ref, wo_ref, w1_ref, w2_ref,
-                wlin_ref, x_ref, do_ref, dx_ref, dpe_ref, dln_ref, dwu_ref,
+                wlin_ref, x_ref, tok_ref, ml_ref, attn_ref, do_ref,
+                dx_ref, dpe_ref, dln_ref, dwu_ref,
                 dwqk_ref, dwv_ref, dwo_ref, dw1_ref, dw2_ref, dwlin_ref,
-                xpad_s, kpad_s, vpad_s, attn_s, dq_s, dkpad_s, dvpad_s,
-                dxpad_s, ml_s, *, h, w, th, tw, r, KB, num_heads):
-    """Fused recompute + backward for the whole SpaTrans block. One grid
-    step = V views; weight-grad outputs have constant index maps, so they
-    live in VMEM across the (sequential) grid and flush once. ml_s parks
-    the per-tile softmax stats between the recompute and backward tile
-    loops; dkpad_s/dvpad_s are f32 halo accumulators cropped like the
+                xpad_s, kpad_s, vpad_s, dq_s, dkpad_s, dvpad_s,
+                dxpad_s, *, h, w, th, tw, r, KB, num_heads):
+    """Fused backward for the whole SpaTrans block, consuming the
+    residuals the training forward streamed out (tok, per-tile softmax
+    stats, attention output) so the only recompute left is the cheap
+    part: LN1 (VPU), the q/k/v projections, the post-chain, and one
+    score matmul per tile (the flash-attention-intrinsic one). One grid
+    step = V views; weight-grad outputs have constant index maps, so
+    they live in VMEM across the (sequential) grid and flush once;
+    dkpad_s/dvpad_s are f32 halo accumulators cropped like the
     spa_attn_hp backward."""
     C = x_ref.shape[-1]
     D = wu_ref.shape[-1]
@@ -351,16 +392,10 @@ def _bwd_kernel(mask_ref, npad_ref, segt_ref, seg_ref, hm_ref, ln_ref,
     a_wlin = jnp.zeros((D, C), f32)
 
     for vi in range(x_ref.shape[0]):
-        # ---- recompute: tokenization, LN1, projections, halos ----
-        xpad_s[1:1 + h, 1:1 + w, :] = x_ref[vi]
-        tok_f = _mm(xpad_s[0:h, 0:w, :].reshape(h * w, C), wu_ref[0])
-        for t9 in range(1, 9):
-            ky, kx = t9 // 3, t9 % 3
-            tok_f = tok_f + _mm(
-                xpad_s[ky:ky + h, kx:kx + w, :].reshape(h * w, C),
-                wu_ref[t9])
-        tok = tok_f.astype(io)                           # [hw, D]
-        xf = tok_f + pe
+        # ---- light recompute: LN1 (VPU) + q/k/v projections + halos ----
+        xpad_s[1:1 + h, 1:1 + w, :] = x_ref[vi]          # for the dwu taps
+        tok = tok_ref[vi].reshape(h * w, D)              # saved, io
+        xf = tok.astype(f32) + pe
         mu1 = jnp.mean(xf, axis=-1, keepdims=True)
         var1 = jnp.mean(jnp.square(xf - mu1), axis=-1, keepdims=True)
         rstd1 = jax.lax.rsqrt(var1 + LN_EPS)
@@ -373,33 +408,8 @@ def _bwd_kernel(mask_ref, npad_ref, segt_ref, seg_ref, hm_ref, ln_ref,
         vpad_s[r:r + h, r:r + w, :] = (
             _mm(tok, wv_ref[:, :]).astype(io).reshape(h, w, D))
 
-        # ---- recompute attention fwd, parking (m, l) and attn ----
-        for ti in range(h // th):
-            for tj in range(w // tw):
-                t_idx = ti * n_tw + tj
-                q_t = q_img[ti * th:(ti + 1) * th,
-                            tj * tw:(tj + 1) * tw, :].reshape(nq, D)
-                k_t = kpad_s[ti * th:ti * th + hl_h,
-                             tj * tw:tj * tw + hl_w, :].reshape(nk, D)
-                v_t = vpad_s[ti * th:ti * th + hl_h,
-                             tj * tw:tj * tw + hl_w, :].reshape(nk, D)
-                k_rep = _replicate(k_t, hm_ref, num_heads, KB)
-                v_rep = _replicate(v_t, hm_ref, num_heads, KB)
-                s = _dgen(q_t, k_rep, ((1,), (1,))) * scale + mask_ref[:, :]
-                m = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s - m)
-                l = _seg(e, num_heads, KB, segt_ref)
-                l = l - jnp.exp(-m) * npad_ref[t_idx]
-                ml_s[0, t_idx] = m + jnp.zeros((nq, num_heads), f32)
-                ml_s[1, t_idx] = l
-                out_raw = _dgen(e.astype(io), v_rep, ((1,), (0,)))
-                attn = out_raw * jnp.dot(1.0 / l, hm_f,
-                                         preferred_element_type=f32)
-                attn_s[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw, :] = (
-                    attn.astype(io).reshape(th, tw, D))
-
-        # ---- recompute post-chain, then backward through it ----
-        attn_f = attn_s[:, :, :].reshape(h * w, D)       # io
+        # ---- recompute post-chain from the saved attn, then backward ----
+        attn_f = attn_ref[vi].reshape(h * w, D)          # saved, io
         x2 = _mm(attn_f, wo_ref[:, :]).astype(io) + tok
         x2f = x2.astype(f32)
         mu2 = jnp.mean(x2f, axis=-1, keepdims=True)
@@ -453,9 +463,9 @@ def _bwd_kernel(mask_ref, npad_ref, segt_ref, seg_ref, hm_ref, ln_ref,
                     num_heads, KB)
                 s = (_dgen(q_t, k_rep, ((1,), (1,))) * scale
                      + mask_ref[:, :])
-                m_b = jnp.dot(ml_s[0, t_idx], seg,
+                m_b = jnp.dot(ml_ref[vi, 0, t_idx], seg,
                               preferred_element_type=f32)
-                inv_b = jnp.dot(1.0 / ml_s[1, t_idx], seg,
+                inv_b = jnp.dot(1.0 / ml_ref[vi, 1, t_idx], seg,
                                 preferred_element_type=f32)
                 a_f = jnp.exp(s - m_b) * inv_b           # [nq, H*KB]
                 dov = _dgen(do_t, v_rep, ((1,), (1,)))
@@ -534,13 +544,16 @@ def spa_block_core(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
 
 def _spa_vjp_fwd(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
                  num_heads, k):
-    out = _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t,
-                    wlin_t, num_heads, k)
-    return out, (x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t)
+    out, tok, ml, attn = _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t,
+                                   w1_t, w2_t, wlin_t, num_heads, k,
+                                   with_res=True)
+    return out, (x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
+                 tok, ml, attn)
 
 
 def _spa_vjp_bwd(num_heads, k, res, dout):
-    x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t = res
+    (x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
+     tok, ml, attn) = res
     B, h, w, C = x.shape
     D = wu.shape[-1]
     r = k // 2
@@ -549,8 +562,8 @@ def _spa_vjp_bwd(num_heads, k, res, dout):
     th, tw, KB = pick_hp_geometry(h, w, num_heads, k)
     n_tiles = (h // th) * (w // tw)
     nq = th * tw
-    mask, npad, hm = (jnp.asarray(c) for c in
-                      _np_consts(th, tw, r, h, w, num_heads, D, KB))
+    mask, _, hm = (jnp.asarray(c) for c in
+                   _np_consts(th, tw, r, h, w, num_heads, D, KB))
     segt = jnp.asarray(_np_segsum_matrix(num_heads, KB))
     from lft_tpu.kernels.ang_attn_mxu import _seg_bcast_matrix
     seg = jnp.asarray(_seg_bcast_matrix(num_heads, KB))
@@ -559,38 +572,47 @@ def _spa_vjp_bwd(num_heads, k, res, dout):
 
     V = int(os.environ.get("LFT_SPAB_BWD_VPS", "1") or 1)
     pad_b = (-B) % V
-    x_p = jnp.pad(x.astype(io), [(0, pad_b)] + [(0, 0)] * 3) if pad_b \
-        else x.astype(io)
-    do_p = jnp.pad(dout.astype(io), [(0, pad_b)] + [(0, 0)] * 3) if pad_b \
-        else dout.astype(io)
+    pad4 = lambda a: (jnp.pad(a, [(0, pad_b)] + [(0, 0)] * (a.ndim - 1))
+                      if pad_b else a)
+    x_p = pad4(x.astype(io))
+    do_p = pad4(dout.astype(io))
+    tok_p = pad4(tok.astype(io))
+    attn_p = pad4(attn.astype(io))
+    ml_p = pad4(ml)
+    if pad_b:
+        # pad views need finite stats (1/l); their grads are dropped
+        ml_p = ml_p.at[B:, 1].set(1.0)
     Bp = B + pad_b
 
     full = lambda *dims: pl.BlockSpec(dims, lambda i: (0,) * len(dims),
                                       memory_space=pltpu.VMEM)
     img = pl.BlockSpec((V, h, w, C), lambda i: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
+    imgD = pl.BlockSpec((V, h, w, D), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mlspec = pl.BlockSpec((V, 2, n_tiles, nq, num_heads),
+                          lambda i: (i, 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel, h=h, w=w, th=th, tw=tw, r=r,
                                KB=KB, num_heads=num_heads)
     scratch = [pltpu.VMEM((h + 2, w + 2, C), io),          # xpad
                pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),  # kpad
                pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),  # vpad
-               pltpu.VMEM((h, w, D), io),                  # attn
                pltpu.VMEM((h, w, D), f32),                 # dq
                pltpu.VMEM((h + 2 * r, w + 2 * r, D), f32),  # dkpad
                pltpu.VMEM((h + 2 * r, w + 2 * r, D), f32),  # dvpad
-               pltpu.VMEM((h + 2, w + 2, C), f32),         # dxpad
-               pltpu.VMEM((2, n_tiles, nq, num_heads), f32)]  # m, l
+               pltpu.VMEM((h + 2, w + 2, C), f32)]         # dxpad
     acc = lambda shp: jax.ShapeDtypeStruct(shp, f32)
     interpret = jax.devices()[0].platform != "tpu"
     outs = pl.pallas_call(
         kernel, interpret=interpret, grid=(Bp // V,),
         in_specs=[full(nq, num_heads * KB),
-                  full(n_tiles, nq, num_heads),
                   full(num_heads * KB, num_heads),
                   full(num_heads, num_heads * KB),
                   full(num_heads, D), full(4, D), full(h, w, D),
                   full(9, C, D), full(D, 2 * D), full(D, D), full(D, D),
-                  full(D, 2 * D), full(2 * D, D), full(D, C), img, img],
+                  full(D, 2 * D), full(2 * D, D), full(D, C),
+                  img, imgD, mlspec, imgD, img],
         out_specs=(img, full(h, w, D), full(4, D), full(9, C, D),
                    full(D, 2 * D), full(D, D), full(D, D), full(D, 2 * D),
                    full(2 * D, D), full(D, C)),
@@ -599,10 +621,10 @@ def _spa_vjp_bwd(num_heads, k, res, dout):
                    acc((D, 2 * D)), acc((D, D)), acc((D, D)),
                    acc((D, 2 * D)), acc((2 * D, D)), acc((D, C))),
         scratch_shapes=scratch,
-    )(mask, npad, segt, seg, hm, ln.astype(f32),
+    )(mask, segt, seg, hm, ln.astype(f32),
       pe_tok.astype(io), wu.astype(io), wqk.astype(io), wv_t.astype(io),
       wo_t.astype(io), w1_t.astype(io), w2_t.astype(io), wlin_t.astype(io),
-      x_p, do_p)
+      x_p, tok_p, ml_p, attn_p, do_p)
     dx, dpe, dln, dwu, dwqk, dwv, dwo, dw1, dw2, dwlin = outs
     c = lambda g, t: g.astype(t.dtype)
     return (dx[:B].astype(x.dtype), c(dpe, pe_tok), c(dln, ln), c(dwu, wu),

@@ -1,0 +1,164 @@
+"""Accuracy of the SHIPPING pipeline configuration vs the f32-exact path.
+
+The north-star metric couples throughput to quality ("MPx/s at PSNR/SSIM
+parity, |dPSNR| <= 0.01 dB", BASELINE.md) -- and the headline MPx/s runs
+bfloat16 with the fused whole-block Pallas kernels, while the committed
+reference-parity artifacts (PARITY_s{2,4}_c64.json, goldens/) are
+f32/matmul_precision=highest on the unfused path. This harness closes
+that gap: the SAME scenes and the SAME weights run through
+
+  (a) the f32-exact configuration: dtype=float32,
+      matmul_precision=highest, unfused XLA attention -- the
+      configuration every committed reference-parity artifact uses;
+  (b) the SHIPPING configuration: dtype=bfloat16, fused whole-block
+      Pallas kernels, bench-grade pipeline knobs -- what bench.py
+      measures and what `python test.py` runs on a TPU;
+
+and records per-scene and mean PSNR/SSIM (each vs the HR ground truth,
+reference cal_metrics semantics, utils/utils.py:56-88) plus the deltas.
+Pass iff |dPSNR| <= psnr_tol (default 0.01 dB) and |dSSIM| <= ssim_tol.
+
+    python tools/parity_bf16.py                         # 4x, demo ckpt
+    python tools/parity_bf16.py --scale 2 --json PARITY_bf16.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEMO = {2: os.path.join(REPO, "examples", "synth_demo",
+                        "LFT_5x5_2x_synth1200.npz"),
+        4: os.path.join(REPO, "examples", "synth_demo",
+                        "LFT_5x5_4x_synth3000.npz")}
+
+
+def _scenes(ns):
+    from lft_tpu.data.synth import synth_lf_scene
+    from lft_tpu.data.generate import _lf_to_y, _downscale_matlab, _mosaic
+    out = []
+    for i in range(ns.n_scenes):
+        lf = synth_lf_scene(ns.angRes, ns.test_hw * ns.scale_factor,
+                            ns.test_hw * ns.scale_factor,
+                            seed=2000 + i)
+        y = _lf_to_y(lf)
+        lr = np.stack([np.stack([_downscale_matlab(y[u, v], ns.scale_factor)
+                                 for v in range(ns.angRes)])
+                       for u in range(ns.angRes)])
+        out.append((_mosaic(lr).astype(np.float32),
+                    _mosaic(y).astype(np.float32)))
+    return out
+
+
+def _eval_leg(params, scenes, args, label):
+    import jax.numpy as jnp
+    from lft_tpu.inference.tiled import ScenePipelineCache
+    from lft_tpu.ops.metrics import cal_metrics
+    from lft_tpu.registry import get_model
+    model = get_model(args)
+    cache = ScenePipelineCache(
+        model.apply, args, eval_batch=args.eval_batch,
+        bucket=args.eval_bucket, scene_batch=args.scene_batch)
+    res = []
+    for lr, hr in scenes:
+        sr = np.asarray(cache(params, jnp.asarray(lr)))
+        p, s = cal_metrics(hr, sr, args.angRes)
+        res.append((float(p), float(s)))
+    print(f"  [{label}] " + "  ".join(f"{p:.4f}/{s:.5f}" for p, s in res),
+          flush=True)
+    return res
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--angRes", type=int, default=5)
+    ap.add_argument("--scale_factor", "--scale", type=int, default=4)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--ckpt", default=None,
+                    help="npz checkpoint; default: the matching demo ckpt")
+    ap.add_argument("--n_scenes", type=int, default=3)
+    ap.add_argument("--test_hw", type=int, default=64,
+                    help="LR pixels per view of the test scenes")
+    ap.add_argument("--eval_batch", type=int, default=16)
+    ap.add_argument("--psnr_tol", type=float, default=0.01)
+    ap.add_argument("--ssim_tol", type=float, default=1e-4)
+    ap.add_argument("--json", default=None)
+    ns = ap.parse_args(argv)
+
+    from lft_tpu.config import Args
+    import jax
+    import jax.numpy as jnp
+    from lft_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = ns.ckpt or DEMO.get(ns.scale_factor)
+    if ckpt and os.path.exists(ckpt):
+        loaded, _, _ = load_checkpoint(ckpt)
+        params = {k: jnp.asarray(v) for k, v in loaded.items()}
+        ckpt_used = ckpt
+    else:
+        from lft_tpu.registry import get_model
+        base = Args(angRes=ns.angRes, scale_factor=ns.scale_factor,
+                    channels=ns.channels)
+        params = get_model(base).init(jax.random.PRNGKey(0), base)
+        ckpt_used = "random-init (parity must hold for any weights)"
+
+    scenes = _scenes(ns)
+    common = dict(angRes=ns.angRes, scale_factor=ns.scale_factor,
+                  channels=ns.channels, eval_batch=ns.eval_batch)
+
+    # (a) f32-exact: the committed parity artifacts' configuration
+    args_exact = Args(dtype="float32", matmul_precision="highest",
+                      attention_impl="tiled", eval_bucket=0, scene_batch=1,
+                      **common)
+    # (b) shipping: what bench.py measures / stock TPU test.py runs
+    args_ship = Args(dtype="bfloat16", attention_impl="auto",
+                     eval_bucket=-1, scene_batch=-1, **common)
+
+    print(f"device: {jax.devices()[0]}  ckpt: {ckpt_used}", flush=True)
+    exact = _eval_leg(params, scenes, args_exact, "f32-exact  ")
+    ship = _eval_leg(params, scenes, args_ship, "bf16-fused ")
+
+    d_psnr = [b[0] - a[0] for a, b in zip(exact, ship)]
+    d_ssim = [b[1] - a[1] for a, b in zip(exact, ship)]
+    mean = lambda xs: float(np.mean(xs))
+    ok = (abs(mean(d_psnr)) <= ns.psnr_tol
+          and abs(mean(d_ssim)) <= ns.ssim_tol)
+    result = {
+        "workload": "shipping (bf16 + fused whole-block kernels + bench "
+                    "pipeline knobs) vs f32-exact evaluation on identical "
+                    "scenes/weights (VERDICT round-3 item 2)",
+        "device": str(jax.devices()[0]),
+        "config": {**common, "n_scenes": ns.n_scenes, "test_hw": ns.test_hw,
+                   "ckpt": os.path.basename(str(ckpt_used))},
+        "f32_exact": {"psnr": [a[0] for a in exact],
+                      "ssim": [a[1] for a in exact]},
+        "bf16_fused": {"psnr": [b[0] for b in ship],
+                       "ssim": [b[1] for b in ship]},
+        "delta": {"psnr_per_scene": d_psnr, "ssim_per_scene": d_ssim,
+                  "psnr_mean": mean(d_psnr), "ssim_mean": mean(d_ssim),
+                  "psnr_worst": float(max(abs(d) for d in d_psnr)),
+                  "ssim_worst": float(max(abs(d) for d in d_ssim))},
+        "tolerance": {"psnr_db": ns.psnr_tol, "ssim": ns.ssim_tol},
+        "ok": bool(ok),
+    }
+    print(json.dumps({"dPSNR_mean": round(mean(d_psnr), 5),
+                      "dSSIM_mean": round(mean(d_ssim), 7),
+                      "dPSNR_worst": result["delta"]["psnr_worst"],
+                      "ok": ok}))
+    if ns.json:
+        with open(ns.json, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {ns.json}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
