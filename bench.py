@@ -55,8 +55,12 @@ def _probe_device(timeout_s: int = 180) -> bool:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer reps")
-    ap.add_argument("--dtype", default="bfloat16",
-                    choices=["float32", "bfloat16"])
+    ap.add_argument("--dtype", default="mixed",
+                    choices=["float32", "bfloat16", "mixed"],
+                    help="mixed (shipping): f32 activations/residuals, "
+                         "bf16 matmul operands in the fused kernels -- "
+                         "full MXU rate, passes the 0.01 dB quality gate "
+                         "(PARITY_bf16.json); all-bf16 measured -0.20 dB")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "dense", "tiled", "pallas"])
     ap.add_argument("--scene", type=int, default=128, help="LR view size")
@@ -191,20 +195,32 @@ def main():
             "on_device_metrics": True,
         }
 
-    # quality leash on the headline number: the shipping (bf16 + fused
-    # blocks) accuracy vs the f32-exact path, from the committed
-    # tools/parity_bf16.py artifact (re-run it after kernel changes)
+    # quality leash on the headline number: the shipping-config accuracy
+    # vs the f32-exact path, from the committed tools/parity_bf16.py
+    # artifact. The gate FAILS the bench (nonzero exit) on a recorded
+    # regression or a stale artifact -- but only AFTER printing the JSON
+    # line, so the measurement is never swallowed (VERDICT round-4 item 2).
     quality = None
+    gate_fail = None
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "PARITY_bf16.json")
     if os.path.exists(art):
         with open(art) as f:
             q = json.load(f)
+        from lft_tpu.utils.srchash import shipping_source_hash
+        stale = (q.get("source_hash") or "") != shipping_source_hash()
         quality = {"psnr_delta_vs_f32": q["delta"]["psnr_mean"],
                    "ssim_delta_vs_f32": q["delta"]["ssim_mean"],
-                   "ok": q["ok"], "source": "PARITY_bf16.json"}
-        assert q["ok"], ("shipping-config quality regression recorded in "
-                         "PARITY_bf16.json -- re-run tools/parity_bf16.py")
+                   "ok": bool(q["ok"]) and not stale, "stale": stale,
+                   "source": "PARITY_bf16.json"}
+        if stale:
+            gate_fail = ("PARITY_bf16.json was measured on different "
+                         "kernel/model sources (source_hash mismatch) -- "
+                         "re-run tools/parity_bf16.py")
+        elif not q["ok"]:
+            gate_fail = ("shipping-config quality regression recorded in "
+                         "PARITY_bf16.json -- fix, then re-run "
+                         "tools/parity_bf16.py")
 
     print(json.dumps({
         "metric": "LFT 5x5 4x full-scene SR throughput (HR SAI-MPx/s/chip)",
@@ -225,6 +241,10 @@ def main():
             "quality": quality,
         },
     }))
+    if gate_fail:
+        import sys
+        print("bench.py QUALITY GATE FAILED: " + gate_fail, file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -54,7 +54,12 @@ class Args:
     # New, TPU-specific flags (absent from the reference).
     platform: str = "auto"            # auto | cpu | tpu: jax backend override
     seed: int = 0
-    dtype: str = "float32"            # compute dtype: float32 | bfloat16
+    dtype: str = "float32"            # compute dtype: float32 | bfloat16 |
+                                      # mixed (f32 activations/residuals/
+                                      # softmax, bf16 matmul operands -- the
+                                      # shipping TPU configuration: MXU-rate
+                                      # matmuls without bf16 cast noise on
+                                      # the residual stream)
     matmul_precision: str = "default"  # default | high | highest
     attention_impl: str = "auto"      # auto | dense | tiled | pallas
     eval_batch: int = 16              # patches per device batch in tiled eval
@@ -127,7 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference train.py:20; 'auto' uses jax's default)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--dtype", type=str, default=d.dtype,
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "mixed"],
+                   help="mixed = f32 activations with bf16 matmul operands "
+                        "(shipping TPU config: full MXU rate, f32-grade "
+                        "residual stream)")
     p.add_argument("--matmul_precision", type=str, default=d.matmul_precision,
                    choices=["default", "high", "highest"])
     p.add_argument("--attention_impl", type=str, default=d.attention_impl,

@@ -107,6 +107,16 @@ class TestDataset:
     def scene_name(self, index: int) -> str:
         return Path(self.file_list[index]).stem
 
+    def scene_shape(self, index: int) -> Tuple[int, ...]:
+        """LR mosaic shape WITHOUT reading pixel data (h5 header only) --
+        lets the eval sweep group same-shape scenes so scene-batch
+        dispatch amortization survives arbitrary dataset order
+        (inference/tiled.py evaluate_dataset)."""
+        path = os.path.join(self.dataset_dir, self.file_list[index])
+        with h5py.File(path, "r") as hf:
+            s = hf["Lr_SAI_y"].shape
+        return (s[1], s[0])  # the (1, 0) Matlab transpose __getitem__ applies
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         path = os.path.join(self.dataset_dir, self.file_list[index])
         with h5py.File(path, "r") as hf:

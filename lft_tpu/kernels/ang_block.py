@@ -85,24 +85,30 @@ def _replicate(x, hm_ref, num_heads, rows):
 
 def _kernel(mask_ref, hm_ref, pe_ref, ln_ref, wq_ref, wk_ref, wv_ref,
             wo_ref, w1_ref, w2_ref, x_ref, o_ref, *, num_heads,
-            m_ref=None, l_ref=None, attn_ref=None):
+            mm_half=False, m_ref=None, l_ref=None, attn_ref=None):
     """One grid step = GPS groups. x_ref/o_ref [GPS, rows, C] where
     rows = G*A2; pe_ref [rows, C] f32 (ang_pe tiled across the group's
-    pixels); mask_ref [rows, H*BLK] block-diagonal; ln_ref [4, C] f32."""
+    pixels); mask_ref [rows, H*BLK] block-diagonal; ln_ref [4, C] f32.
+
+    `mm_half` (the `--dtype mixed` shipping mode): IO, residual stream,
+    LayerNorms and softmax stats stay in the IO dtype (f32); values that
+    only feed matmuls are cast to bf16 (`md`). With mm_half=False md==io
+    and every cast below is a no-op."""
     C = x_ref.shape[-1]
     rows = x_ref.shape[1]
     scale = jnp.float32(float(C // num_heads) ** -0.5)
     io = x_ref.dtype
+    md = jnp.bfloat16 if mm_half else io
     ln1w, ln1b = ln_ref[0, :], ln_ref[1, :]
     ln2w, ln2b = ln_ref[2, :], ln_ref[3, :]
 
     for g in range(x_ref.shape[0]):
         x = x_ref[g]                                     # [rows, C]
         xf = x.astype(jnp.float32) + pe_ref[:, :]
-        xn = _ln(xf, ln1w, ln1b).astype(io)
-        q = _mm(xn, wq_ref[:, :]).astype(io)             # [rows, C]
-        k = _mm(xn, wk_ref[:, :]).astype(io)
-        v = _mm(x, wv_ref[:, :]).astype(io)
+        xn = _ln(xf, ln1w, ln1b).astype(md)
+        q = _mm(xn, wq_ref[:, :]).astype(md)             # [rows, C]
+        k = _mm(xn, wk_ref[:, :]).astype(md)
+        v = _mm(x.astype(md), wv_ref[:, :]).astype(md)
         k_rep = _replicate(k, hm_ref, num_heads, rows)   # [H*BLK, C]
         v_rep = _replicate(v, hm_ref, num_heads, rows)
         s = jax.lax.dot_general(
@@ -114,21 +120,21 @@ def _kernel(mask_ref, hm_ref, pe_ref, ln_ref, wq_ref, wk_ref, wv_ref,
         e = jnp.exp(s - m)
         l = _seg_sums(e, num_heads, BLK)                 # [rows, H]
         out_raw = jax.lax.dot_general(
-            e.astype(io), v_rep,
+            e.astype(md), v_rep,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # [rows, C]
         attn = out_raw * jnp.dot(1.0 / l,
                                  hm_ref[:, :].astype(jnp.float32),
                                  preferred_element_type=jnp.float32)
-        attn_io = attn.astype(io)
+        attn_md = attn.astype(md)
         if m_ref is not None:
             m_ref[g] = m + jnp.zeros((rows, num_heads), jnp.float32)
             l_ref[g] = l
-            attn_ref[g] = attn_io
+            attn_ref[g] = attn_md
         # fused post-chain
-        x2 = _mm(attn_io, wo_ref[:, :]).astype(io) + x
-        xn2 = _ln(x2.astype(jnp.float32), ln2w, ln2b).astype(io)
-        hid = jax.nn.relu(_mm(xn2, w1_ref[:, :])).astype(io)
+        x2 = _mm(attn_md, wo_ref[:, :]).astype(io) + x
+        xn2 = _ln(x2.astype(jnp.float32), ln2w, ln2b).astype(md)
+        hid = jax.nn.relu(_mm(xn2, w1_ref[:, :])).astype(md)
         y = _mm(hid, w2_ref[:, :]).astype(io) + x2
         o_ref[g] = y.astype(o_ref.dtype)
 
@@ -169,14 +175,15 @@ def _group(x, G, GPS):
 
 
 def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads,
-              with_res: bool = False):
+              with_res: bool = False, mm_half: bool = False):
     N, A2, C = x.shape
     GPS = _gps()
     G = _pick_group(N, A2, GPS)
     rows = G * A2
     io = x.dtype
+    md = jnp.bfloat16 if mm_half else io  # matmul-operand dtype (mixed mode)
     mask, hm = (jnp.asarray(c) for c in _consts(A2, C, num_heads, G))
-    hm = hm.astype(io)
+    hm = hm.astype(md)
     pe_t = jnp.tile(pe.astype(jnp.float32), (G, 1))         # [rows, C]
     xg = _group(x, G, GPS)
     n_groups = xg.shape[0]
@@ -185,11 +192,12 @@ def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads,
                        memory_space=pltpu.VMEM)
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel, num_heads=num_heads)
+    kernel = functools.partial(_kernel, num_heads=num_heads,
+                               mm_half=mm_half)
     interpret = jax.devices()[0].platform != "tpu"
-    wts = (mask, hm, pe_t, ln.astype(jnp.float32), wq_t.astype(io),
-           wk_t.astype(io), wv_t.astype(io), wo_t.astype(io),
-           w1_t.astype(io), w2_t.astype(io))
+    wts = (mask, hm, pe_t, ln.astype(jnp.float32), wq_t.astype(md),
+           wk_t.astype(md), wv_t.astype(md), wo_t.astype(md),
+           w1_t.astype(md), w2_t.astype(md))
     in_specs = [full(rows, num_heads * BLK), full(num_heads, C),
                 full(rows, C), full(4, C), full(C, C), full(C, C),
                 full(C, C), full(C, C), full(C, 2 * C), full(2 * C, C),
@@ -204,8 +212,8 @@ def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads,
 
         def kernel_res(*a):
             ins, (o, mr, lr, ar) = a[:11], a[11:]
-            _kernel(*ins, o, num_heads=num_heads, m_ref=mr, l_ref=lr,
-                    attn_ref=ar)
+            _kernel(*ins, o, num_heads=num_heads, mm_half=mm_half,
+                    m_ref=mr, l_ref=lr, attn_ref=ar)
 
         out, m, l, attn = pl.pallas_call(
             kernel_res, interpret=interpret, grid=(n_groups // GPS,),
@@ -216,7 +224,8 @@ def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads,
                                             jnp.float32),
                        jax.ShapeDtypeStruct((n_groups, rows, num_heads),
                                             jnp.float32),
-                       jax.ShapeDtypeStruct((n_groups, rows, C), io)),
+                       # attn is a pure matmul operand downstream -> md
+                       jax.ShapeDtypeStruct((n_groups, rows, C), md)),
         )(*wts, xg)
         tok = lambda a, d: a.reshape(-1, A2, d)[:N]
         return (tok(out, C), tok(m, num_heads), tok(l, num_heads),
@@ -234,16 +243,19 @@ def _bwd_kernel(mask_ref, hm_ref, seg_ref, pe_ref, ln_ref, wq_ref, wk_ref,
                 wv_ref, wo_ref, w1_ref, w2_ref, x_ref, m_ref, l_ref,
                 attn_ref, do_ref, dx_ref,
                 dln_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dw1_ref,
-                dw2_ref, *, num_heads):
+                dw2_ref, *, num_heads, mm_half=False):
     """Fused backward for the whole AngTrans block, consuming the saved
     softmax stats and attention output (no fwd-attention recompute; only
     the flash-intrinsic score matmul remains). One grid step = GPS
     groups; weight-grad outputs have constant index maps, so they live
-    in VMEM across the (sequential) grid and flush once."""
+    in VMEM across the (sequential) grid and flush once. `mm_half`
+    mirrors the forward's mixed mode: f32 IO/residual cotangents, bf16
+    matmul operands, f32 accumulators."""
     C = x_ref.shape[-1]
     rows = x_ref.shape[1]
     scale = jnp.float32(float(C // num_heads) ** -0.5)
     io = x_ref.dtype
+    md = jnp.bfloat16 if mm_half else io
     f32 = jnp.float32
     ln1w, ln1b = ln_ref[0, :], ln_ref[1, :]
     ln2w, ln2b = ln_ref[2, :], ln_ref[3, :]
@@ -274,17 +286,19 @@ def _bwd_kernel(mask_ref, hm_ref, seg_ref, pe_ref, ln_ref, wq_ref, wk_ref,
 
     for g in range(x_ref.shape[0]):
         x = x_ref[g]                                     # [rows, C] io
+        x_md = x.astype(md)
         do = do_ref[g]
+        do_md = do.astype(md)
         # ---- recompute the forward chain (same ops as _kernel) ----
         xf = x.astype(f32) + pe_ref[:, :]
         mu1 = jnp.mean(xf, axis=-1, keepdims=True)
         var1 = jnp.mean(jnp.square(xf - mu1), axis=-1, keepdims=True)
         rstd1 = jax.lax.rsqrt(var1 + LN_EPS)
         xhat1 = (xf - mu1) * rstd1
-        xn = (xhat1 * ln1w + ln1b).astype(io)
-        q = _mm(xn, wq_ref[:, :]).astype(io)             # [rows, C]
-        k = _mm(xn, wk_ref[:, :]).astype(io)
-        v = _mm(x, wv_ref[:, :]).astype(io)
+        xn = (xhat1 * ln1w + ln1b).astype(md)
+        q = _mm(xn, wq_ref[:, :]).astype(md)             # [rows, C]
+        k = _mm(xn, wk_ref[:, :]).astype(md)
+        v = _mm(x_md, wv_ref[:, :]).astype(md)
         k_rep = _replicate(k, hm_ref, num_heads, rows)   # [H*BLK, C]
         v_rep = _replicate(v, hm_ref, num_heads, rows)
         s = _dgen(q, k_rep, ((1,), (1,))) * scale + mask_ref[:, :]
@@ -293,22 +307,22 @@ def _bwd_kernel(mask_ref, hm_ref, seg_ref, pe_ref, ln_ref, wq_ref, wk_ref,
         inv_b = jnp.dot(1.0 / l_ref[g], seg, preferred_element_type=f32)
         a_f = jnp.exp(s - m_b) * inv_b                   # [rows, H*BLK]
         hm_f = hm_ref[:, :].astype(f32)
-        attn_io = attn_ref[g]                            # saved, io
-        x2 = _mm(attn_io, wo_ref[:, :]).astype(io) + x
+        attn_md = attn_ref[g]                            # saved, md
+        x2 = _mm(attn_md, wo_ref[:, :]).astype(io) + x
         x2f = x2.astype(f32)
         mu2 = jnp.mean(x2f, axis=-1, keepdims=True)
         var2 = jnp.mean(jnp.square(x2f - mu2), axis=-1, keepdims=True)
         rstd2 = jax.lax.rsqrt(var2 + LN_EPS)
         xhat2 = (x2f - mu2) * rstd2
-        xn2 = (xhat2 * ln2w + ln2b).astype(io)
+        xn2 = (xhat2 * ln2w + ln2b).astype(md)
         pre1 = _mm(xn2, w1_ref[:, :])                    # [rows, 2C] f32
-        hid = jax.nn.relu(pre1).astype(io)
+        hid = jax.nn.relu(pre1).astype(md)
 
         # ---- backward ----
         # y = hid @ w2 + x2
-        dhid = _dgen(do, w2_ref[:, :], ((1,), (1,)))     # [rows, 2C]
-        a_w2 = a_w2 + _dgen(hid, do, ((0,), (0,)))       # [2C, C]
-        dpre1 = jnp.where(pre1 > 0, dhid, 0.0).astype(io)
+        dhid = _dgen(do_md, w2_ref[:, :], ((1,), (1,)))  # [rows, 2C]
+        a_w2 = a_w2 + _dgen(hid, do_md, ((0,), (0,)))    # [2C, C]
+        dpre1 = jnp.where(pre1 > 0, dhid, 0.0).astype(md)
         a_w1 = a_w1 + _dgen(xn2, dpre1, ((0,), (0,)))    # [C, 2C]
         dxn2 = _dgen(dpre1, w1_ref[:, :], ((1,), (1,)))  # [rows, C]
         dln2w = jnp.sum(dxn2 * xhat2, axis=0, keepdims=True)
@@ -317,35 +331,35 @@ def _bwd_kernel(mask_ref, hm_ref, seg_ref, pe_ref, ln_ref, wq_ref, wk_ref,
         dx2 = do.astype(f32) + rstd2 * (
             dxh2 - jnp.mean(dxh2, axis=-1, keepdims=True)
             - xhat2 * jnp.mean(dxh2 * xhat2, axis=-1, keepdims=True))
-        dx2_io = dx2.astype(io)
+        dx2_md = dx2.astype(md)
         # x2 = attn @ wo + x
-        dattn = _dgen(dx2_io, wo_ref[:, :], ((1,), (1,)))
-        a_wo = a_wo + _dgen(attn_io, dx2_io, ((0,), (0,)))
-        dattn_io = dattn.astype(io)
+        dattn = _dgen(dx2_md, wo_ref[:, :], ((1,), (1,)))
+        a_wo = a_wo + _dgen(attn_md, dx2_md, ((0,), (0,)))
+        dattn_md = dattn.astype(md)
         # block-diag attention backward (ang_attn_mxu identities)
-        dov = _dgen(dattn_io, v_rep, ((1,), (1,)))       # [rows, H*BLK]
+        dov = _dgen(dattn_md, v_rep, ((1,), (1,)))       # [rows, H*BLK]
         D = _seg_sums(a_f * dov, num_heads, BLK)         # [rows, H]
         D_b = jnp.dot(D, seg, preferred_element_type=f32)
-        ds = (a_f * (dov - D_b) * scale).astype(io)
-        a_io = a_f.astype(io)
-        dq = _dgen(ds, k_rep, ((1,), (0,))).astype(io)   # [rows, C]
+        ds = (a_f * (dov - D_b) * scale).astype(md)
+        a_md = a_f.astype(md)
+        dq = _dgen(ds, k_rep, ((1,), (0,))).astype(md)   # [rows, C]
         dk_rep = _dgen(ds, q, ((0,), (0,)))              # [H*BLK, C]
-        dv_rep = _dgen(a_io, dattn_io, ((0,), (0,)))
+        dv_rep = _dgen(a_md, dattn_md, ((0,), (0,)))
         dk = jnp.zeros((rows, C), f32)
         dv = jnp.zeros((rows, C), f32)
         for h in range(num_heads):
             hmv = hm_f[h:h + 1, :]
             dk = dk + dk_rep[h * BLK:h * BLK + rows] * hmv
             dv = dv + dv_rep[h * BLK:h * BLK + rows] * hmv
-        dk_io = dk.astype(io)
-        dv_io = dv.astype(io)
+        dk_md = dk.astype(md)
+        dv_md = dv.astype(md)
         # q = xn @ wq; k = xn @ wk; v = x @ wv
         dxn = (_dgen(dq, wq_ref[:, :], ((1,), (1,)))
-               + _dgen(dk_io, wk_ref[:, :], ((1,), (1,))))
+               + _dgen(dk_md, wk_ref[:, :], ((1,), (1,))))
         a_wq = a_wq + _dgen(xn, dq, ((0,), (0,)))
-        a_wk = a_wk + _dgen(xn, dk_io, ((0,), (0,)))
-        a_wv = a_wv + _dgen(x, dv_io, ((0,), (0,)))
-        dx = dx2 + _dgen(dv_io, wv_ref[:, :], ((1,), (1,)))
+        a_wk = a_wk + _dgen(xn, dk_md, ((0,), (0,)))
+        a_wv = a_wv + _dgen(x_md, dv_md, ((0,), (0,)))
+        dx = dx2 + _dgen(dv_md, wv_ref[:, :], ((1,), (1,)))
         # LN1 backward
         dln1w = jnp.sum(dxn * xhat1, axis=0, keepdims=True)
         dln1b = jnp.sum(dxn, axis=0, keepdims=True)
@@ -372,47 +386,53 @@ def _bwd_gps():
     return int(env) if env else 8
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def ang_block_core(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t,
-                   num_heads):
+                   num_heads, mm_half=False):
     """Differentiable fused AngTrans block on [N, A2, C] pixel-major
     tokens. Weights are the pre-transposed tensors (see
     ang_trans_block_fused); ln is [4, C] = (norm.w, norm.b, ffn_ln.w,
     ffn_ln.b). pe receives a zero cotangent (the angular PE is derived
     from static shape, never learned -- reference model/LFT.py:70)."""
     return _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t,
-                     num_heads)
+                     num_heads, mm_half=mm_half)
 
 
-def _vjp_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads):
+def _vjp_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads,
+             mm_half):
     out, m, l, attn = _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t,
-                                w2_t, num_heads, with_res=True)
+                                w2_t, num_heads, with_res=True,
+                                mm_half=mm_half)
     return out, (x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, m, l, attn)
 
 
-def _vjp_bwd(num_heads, res, dout):
+def _vjp_bwd(num_heads, mm_half, res, dout):
     x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, m, l, attn = res
     N, A2, C = x.shape
     from lft_tpu.kernels.common import bwd_io_dtype
     io = bwd_io_dtype(x.dtype)
+    md = jnp.bfloat16 if mm_half else io
     GPS = _bwd_gps()
     G = _pick_group(N, A2, GPS)
     rows = G * A2
     mask, hm = (jnp.asarray(c) for c in _consts(A2, C, num_heads, G))
     seg = jnp.asarray(_seg_bcast_matrix(num_heads, BLK))
-    hm = hm.astype(io)
+    hm = hm.astype(md)
     pe_t = jnp.tile(pe.astype(jnp.float32), (G, 1))
     xg = _group(x.astype(io), G, GPS)
     dog = _group(dout.astype(io), G, GPS)
     # stats/attn were saved PER TOKEN, so regrouping with this G is free;
-    # padded tail tokens need finite stats (1/l), their grads are dropped
+    # padded tail tokens need finite stats, their grads are dropped
     mg = _group(m, G, GPS)
     lg = _group(l, G, GPS)
     # _group zero-pads the tail; real softmax denominators are strictly
-    # positive, so l == 0 exactly identifies pad rows -- give them a
-    # finite 1/l (their gradients are zero anyway: dout pad rows are zero)
+    # positive, so l == 0 exactly identifies pad rows -- give them a large
+    # positive m (a_f = exp(s - m) underflows to exactly 0 instead of
+    # exp(s) unclamped, whose inf could poison the shared weight-grad
+    # accumulators via inf * 0 = NaN -- ADVICE r4 item 3) and a finite 1/l
+    mg = jnp.where(lg == 0, 1e9, mg)
     lg = jnp.where(lg == 0, 1.0, lg)
-    ag = _group(attn.astype(io), G, GPS)
+    ag = _group(attn.astype(md), G, GPS)
     n_groups = xg.shape[0]
 
     grp = pl.BlockSpec((GPS, rows, C), lambda i: (i, 0, 0),
@@ -421,7 +441,8 @@ def _vjp_bwd(num_heads, res, dout):
                         memory_space=pltpu.VMEM)
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
-    kernel = functools.partial(_bwd_kernel, num_heads=num_heads)
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
+                               mm_half=mm_half)
     interpret = jax.devices()[0].platform != "tpu"
     f32 = jnp.float32
     acc = lambda shp: jax.ShapeDtypeStruct(shp, f32)
@@ -437,9 +458,9 @@ def _vjp_bwd(num_heads, res, dout):
         out_shape=(jax.ShapeDtypeStruct((n_groups, rows, C), io),
                    acc((4, C)), acc((C, C)), acc((C, C)), acc((C, C)),
                    acc((C, C)), acc((C, 2 * C)), acc((2 * C, C))),
-    )(mask, hm, seg, pe_t, ln.astype(f32), wq_t.astype(io),
-      wk_t.astype(io), wv_t.astype(io), wo_t.astype(io), w1_t.astype(io),
-      w2_t.astype(io), xg, mg, lg, ag, dog)
+    )(mask, hm, seg, pe_t, ln.astype(f32), wq_t.astype(md),
+      wk_t.astype(md), wv_t.astype(md), wo_t.astype(md), w1_t.astype(md),
+      w2_t.astype(md), xg, mg, lg, ag, dog)
     dx = dx.reshape(-1, A2, C)[:N].astype(x.dtype)
     c = lambda g, w: g.astype(w.dtype)
     return (dx, jnp.zeros_like(pe), c(dln, ln), c(dwq, wq_t), c(dwk, wk_t),
@@ -449,12 +470,15 @@ def _vjp_bwd(num_heads, res, dout):
 ang_block_core.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def ang_trans_block_fused(x, ang_pe, params, prefix, num_heads: int):
+def ang_trans_block_fused(x, ang_pe, params, prefix, num_heads: int,
+                          mm_half: bool = False):
     """Run the whole AngTrans block on pixel-major tokens.
 
     x:      [N, A2, C] tokens (N = folded batch*h*w pixels);
     ang_pe: [A2, C] angular position encoding;
-    params/prefix: flat param dict and `altblock.{i}.ang_trans.`.
+    params/prefix: flat param dict and `altblock.{i}.ang_trans.`;
+    mm_half: mixed-precision mode (`--dtype mixed`): f32 IO/residual
+            stream with bf16 matmul operands (see `_kernel`).
     Returns [N, A2, C]. Differentiable: the block carries a custom VJP
     (one fused recompute+backward kernel; see module docstring)."""
     ipw = params[prefix + "attention.in_proj_weight"]       # [3C, C]
@@ -467,4 +491,4 @@ def ang_trans_block_fused(x, ang_pe, params, prefix, num_heads: int):
                     params[prefix + "feed_forward.0.weight"],
                     params[prefix + "feed_forward.0.bias"]])  # [4, C]
     return ang_block_core(x, ang_pe, ln, wq.T, wk.T, wv.T, wo_t, w1_t,
-                          w2_t, num_heads)
+                          w2_t, num_heads, mm_half)

@@ -88,13 +88,20 @@ def _mm(a, b):
 def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
             wqk_ref, wv_ref, wo_ref, w1_ref, w2_ref, wlin_ref, x_ref, o_ref,
             xpad_s, kpad_s, vpad_s, attn_s, *, h, w, th, tw, r, KB,
-            num_heads, tok_ref=None, ml_ref=None, attn_ref=None):
+            num_heads, mm_half=False, tok_ref=None, ml_ref=None,
+            attn_ref=None):
     """One grid step = V views. x_ref [V, h, w, C]; o_ref [V, h, w, C];
     xpad_s [h+2, w+2, C] and kpad_s/vpad_s [h+2r, w+2r, D] are VMEM
     scratch reused across views and grid steps (borders zeroed once);
     attn_s [h, w, D] collects per-tile attention outputs so the post-chain
     matmuls run once per view at full [hw, *] MXU row fill (M=128-row
-    per-tile matmuls measured ~8x below the M=1024 rate on v5e)."""
+    per-tile matmuls measured ~8x below the M=1024 rate on v5e).
+
+    `mm_half` (the `--dtype mixed` shipping mode): IO, residual stream,
+    LayerNorms and softmax stats stay in the IO dtype (f32), while every
+    value that ONLY feeds matmuls is cast to bf16 (`md`) -- full MXU rate
+    with no cast noise on the residual stream. With mm_half=False md==io
+    and every cast below is a no-op (bit-identical to the r4 kernel)."""
     C = x_ref.shape[-1]
     D = wu_ref.shape[-1]
     hl_h, hl_w = th + 2 * r, tw + 2 * r
@@ -102,20 +109,21 @@ def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
     n_tw = w // tw
     scale = jnp.float32(float(D // num_heads) ** -0.5)
     io = x_ref.dtype
+    md = jnp.bfloat16 if mm_half else io
     pe = pe_ref[:, :, :].astype(jnp.float32).reshape(h * w, D)
     ln1w, ln1b = ln_ref[0, :], ln_ref[1, :]
     ln2w, ln2b = ln_ref[2, :], ln_ref[3, :]
 
     @pl.when(pl.program_id(0) == 0)
     def _zero_borders():
-        xpad_s[:, :, :] = jnp.zeros((h + 2, w + 2, C), io)
-        kpad_s[:, :, :] = jnp.zeros((hl_h + h - th, hl_w + w - tw, D), io)
-        vpad_s[:, :, :] = jnp.zeros((hl_h + h - th, hl_w + w - tw, D), io)
+        xpad_s[:, :, :] = jnp.zeros((h + 2, w + 2, C), md)
+        kpad_s[:, :, :] = jnp.zeros((hl_h + h - th, hl_w + w - tw, D), md)
+        vpad_s[:, :, :] = jnp.zeros((hl_h + h - th, hl_w + w - tw, D), md)
 
     for vi in range(x_ref.shape[0]):
         # tokenization: unfold(3x3, zero-pad) + Linear as 9 accumulated
         # [hw, C] @ [C, D] MXU taps (reference model/LFT.py:164-169)
-        xpad_s[1:1 + h, 1:1 + w, :] = x_ref[vi]
+        xpad_s[1:1 + h, 1:1 + w, :] = x_ref[vi].astype(md)
         tok_f = _mm(xpad_s[0:h, 0:w, :].reshape(h * w, C), wu_ref[0])
         for t9 in range(1, 9):
             ky, kx = t9 // 3, t9 % 3
@@ -125,11 +133,11 @@ def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
         tok = tok_f.astype(io)                           # [hw, D]
         if tok_ref is not None:
             tok_ref[vi] = tok.reshape(h, w, D)
-        xn = _ln(tok_f + pe, ln1w, ln1b).astype(io)
+        xn = _ln(tok_f + pe, ln1w, ln1b).astype(md)
         qk = _mm(xn, wqk_ref[:, :])                      # [hw, 2D] MXU
-        q_img = qk[:, :D].astype(io).reshape(h, w, D)
-        k_img = qk[:, D:].astype(io).reshape(h, w, D)
-        v_img = _mm(tok, wv_ref[:, :]).astype(io).reshape(h, w, D)
+        q_img = qk[:, :D].astype(md).reshape(h, w, D)
+        k_img = qk[:, D:].astype(md).reshape(h, w, D)
+        v_img = _mm(tok.astype(md), wv_ref[:, :]).astype(md).reshape(h, w, D)
         # zero-halo k/v in VMEM (replaces the XLA pad ops of the unfused
         # path; zero-pad keys score exactly 0 -> the shared mask + npad
         # denominator correction of spa_attn_hp stays exact)
@@ -162,24 +170,24 @@ def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
                         (nq, num_heads), jnp.float32)
                     ml_ref[vi, 1, t_idx] = l
                 out_raw = jax.lax.dot_general(
-                    e.astype(io), v_rep,
+                    e.astype(md), v_rep,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [nq, D] MXU
                 attn = out_raw * jnp.dot(
                     1.0 / l, hm_ref[:, :].astype(jnp.float32),
                     preferred_element_type=jnp.float32)
                 attn_s[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw, :] = (
-                    attn.astype(io).reshape(th, tw, D))
+                    attn.astype(md).reshape(th, tw, D))
 
         if attn_ref is not None:
             attn_ref[vi] = attn_s[:, :, :]
         # fused post-chain once per view at full [hw, *] row fill
         attn_f = attn_s[:, :, :].reshape(h * w, D)
         x2 = _mm(attn_f, wo_ref[:, :]).astype(io) + tok
-        xn2 = _ln(x2.astype(jnp.float32), ln2w, ln2b).astype(io)
-        hid = jax.nn.relu(_mm(xn2, w1_ref[:, :])).astype(io)
+        xn2 = _ln(x2.astype(jnp.float32), ln2w, ln2b).astype(md)
+        hid = jax.nn.relu(_mm(xn2, w1_ref[:, :])).astype(md)
         y = _mm(hid, w2_ref[:, :]).astype(io) + x2
-        out_v = _mm(y, wlin_ref[:, :]).astype(o_ref.dtype)
+        out_v = _mm(y.astype(md), wlin_ref[:, :]).astype(o_ref.dtype)
         o_ref[vi] = out_v.reshape(h, w, o_ref.shape[-1])
 
 
@@ -227,7 +235,7 @@ def _prep(params, prefix):
 
 def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
               num_heads: int, k: int, pixel_major: bool = False,
-              with_res: bool = False):
+              with_res: bool = False, mm_half: bool = False):
     if pixel_major:
         Bb, h, w, A2, C = x.shape
     else:
@@ -238,11 +246,12 @@ def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
     n_tiles = (h // th) * (w // tw)
     nq = th * tw
     io = x.dtype
+    md = jnp.bfloat16 if mm_half else io  # matmul-operand dtype (mixed mode)
 
     mask, npad, hm = (jnp.asarray(c) for c in
                       _np_consts(th, tw, r, h, w, num_heads, D, KB))
     segt = jnp.asarray(_np_segsum_matrix(num_heads, KB))
-    hm = hm.astype(io)
+    hm = hm.astype(md)
     ln = ln.astype(jnp.float32)
 
     V = _views_per_step(n_tiles)
@@ -256,14 +265,14 @@ def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
     npspec = pl.BlockSpec((n_tiles, nq, num_heads), lambda *i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, h=h, w=w, th=th, tw=tw, r=r, KB=KB,
-                               num_heads=num_heads)
-    scratch = [pltpu.VMEM((h + 2, w + 2, C), io),
-               pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),
-               pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),
-               pltpu.VMEM((h, w, D), io)]
-    wts = (mask, npad, segt, hm, ln, pe_tok.astype(io), wu.astype(io),
-           wqk.astype(io), wv_t.astype(io), wo_t.astype(io),
-           w1_t.astype(io), w2_t.astype(io), wlin_t.astype(io))
+                               num_heads=num_heads, mm_half=mm_half)
+    scratch = [pltpu.VMEM((h + 2, w + 2, C), md),
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), md),
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), md),
+               pltpu.VMEM((h, w, D), md)]
+    wts = (mask, npad, segt, hm, ln, pe_tok.astype(io), wu.astype(md),
+           wqk.astype(md), wv_t.astype(md), wo_t.astype(md),
+           w1_t.astype(md), w2_t.astype(md), wlin_t.astype(md))
     wspecs = [full(nq, num_heads * KB), npspec,
               full(num_heads * KB, num_heads),
               full(num_heads, D), full(4, D), pespec, wuspec,
@@ -308,8 +317,8 @@ def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
         def kernel_res(*a):
             ins, (o, tokr, mlr, attnr), scr = a[:14], a[14:18], a[18:]
             _kernel(*ins, o, *scr, h=h, w=w, th=th, tw=tw, r=r, KB=KB,
-                    num_heads=num_heads, tok_ref=tokr, ml_ref=mlr,
-                    attn_ref=attnr)
+                    num_heads=num_heads, mm_half=mm_half, tok_ref=tokr,
+                    ml_ref=mlr, attn_ref=attnr)
 
         out, tok, ml, attn = pl.pallas_call(
             kernel_res, interpret=interpret, grid=(Bp // V,),
@@ -319,7 +328,8 @@ def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
                        jax.ShapeDtypeStruct((Bp, h, w, D), io),
                        jax.ShapeDtypeStruct((Bp, 2, n_tiles, nq, num_heads),
                                             jnp.float32),
-                       jax.ShapeDtypeStruct((Bp, h, w, D), io)),
+                       # attn is a pure matmul operand downstream -> md
+                       jax.ShapeDtypeStruct((Bp, h, w, D), md)),
             scratch_shapes=scratch,
         )(*wts, x_p)
         return out[:B], tok[:B], ml[:B], attn[:B]
@@ -339,7 +349,7 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
                 dx_ref, dpe_ref, dln_ref, dwu_ref,
                 dwqk_ref, dwv_ref, dwo_ref, dw1_ref, dw2_ref, dwlin_ref,
                 xpad_s, kpad_s, vpad_s, dq_s, dkpad_s, dvpad_s,
-                dxpad_s, *, h, w, th, tw, r, KB, num_heads):
+                dxpad_s, *, h, w, th, tw, r, KB, num_heads, mm_half=False):
     """Fused backward for the whole SpaTrans block, consuming the
     residuals the training forward streamed out (tok, per-tile softmax
     stats, attention output) so the only recompute left is the cheap
@@ -348,7 +358,8 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
     step = V views; weight-grad outputs have constant index maps, so
     they live in VMEM across the (sequential) grid and flush once;
     dkpad_s/dvpad_s are f32 halo accumulators cropped like the
-    spa_attn_hp backward."""
+    spa_attn_hp backward. `mm_half` mirrors the forward's mixed mode:
+    f32 IO/residual cotangents, bf16 matmul operands, f32 accumulators."""
     C = x_ref.shape[-1]
     D = wu_ref.shape[-1]
     hl_h, hl_w = th + 2 * r, tw + 2 * r
@@ -356,6 +367,7 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
     n_tw = w // tw
     scale = jnp.float32(float(D // num_heads) ** -0.5)
     io = x_ref.dtype
+    md = jnp.bfloat16 if mm_half else io
     f32 = jnp.float32
     pe = pe_ref[:, :, :].astype(f32).reshape(h * w, D)
     ln1w, ln1b = ln_ref[0, :], ln_ref[1, :]
@@ -368,7 +380,7 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
 
     @pl.when(pl.program_id(0) == 0)
     def _zero():
-        xpad_s[:, :, :] = jnp.zeros((h + 2, w + 2, C), io)
+        xpad_s[:, :, :] = jnp.zeros((h + 2, w + 2, C), md)
         kpad_s[:, :, :] = jnp.zeros_like(kpad_s)
         vpad_s[:, :, :] = jnp.zeros_like(vpad_s)
         dpe_ref[:, :, :] = jnp.zeros_like(dpe_ref)
@@ -393,53 +405,54 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
 
     for vi in range(x_ref.shape[0]):
         # ---- light recompute: LN1 (VPU) + q/k/v projections + halos ----
-        xpad_s[1:1 + h, 1:1 + w, :] = x_ref[vi]          # for the dwu taps
+        xpad_s[1:1 + h, 1:1 + w, :] = x_ref[vi].astype(md)  # for the dwu taps
         tok = tok_ref[vi].reshape(h * w, D)              # saved, io
+        tok_md = tok.astype(md)
         xf = tok.astype(f32) + pe
         mu1 = jnp.mean(xf, axis=-1, keepdims=True)
         var1 = jnp.mean(jnp.square(xf - mu1), axis=-1, keepdims=True)
         rstd1 = jax.lax.rsqrt(var1 + LN_EPS)
         xhat1 = (xf - mu1) * rstd1
-        xn = (xhat1 * ln1w + ln1b).astype(io)
+        xn = (xhat1 * ln1w + ln1b).astype(md)
         qk = _mm(xn, wqk_ref[:, :])                      # [hw, 2D]
-        q_img = qk[:, :D].astype(io).reshape(h, w, D)
+        q_img = qk[:, :D].astype(md).reshape(h, w, D)
         kpad_s[r:r + h, r:r + w, :] = (
-            qk[:, D:].astype(io).reshape(h, w, D))
+            qk[:, D:].astype(md).reshape(h, w, D))
         vpad_s[r:r + h, r:r + w, :] = (
-            _mm(tok, wv_ref[:, :]).astype(io).reshape(h, w, D))
+            _mm(tok_md, wv_ref[:, :]).astype(md).reshape(h, w, D))
 
         # ---- recompute post-chain from the saved attn, then backward ----
-        attn_f = attn_ref[vi].reshape(h * w, D)          # saved, io
+        attn_f = attn_ref[vi].reshape(h * w, D)          # saved, md
         x2 = _mm(attn_f, wo_ref[:, :]).astype(io) + tok
         x2f = x2.astype(f32)
         mu2 = jnp.mean(x2f, axis=-1, keepdims=True)
         var2 = jnp.mean(jnp.square(x2f - mu2), axis=-1, keepdims=True)
         rstd2 = jax.lax.rsqrt(var2 + LN_EPS)
         xhat2 = (x2f - mu2) * rstd2
-        xn2 = (xhat2 * ln2w + ln2b).astype(io)
+        xn2 = (xhat2 * ln2w + ln2b).astype(md)
         pre = _mm(xn2, w1_ref[:, :])                     # [hw, 2D] f32
-        hid = jax.nn.relu(pre).astype(io)
+        hid = jax.nn.relu(pre).astype(md)
         y = (_mm(hid, w2_ref[:, :]).astype(io) + x2)
 
-        dout = do_ref[vi].reshape(h * w, C)              # io
+        dout = do_ref[vi].reshape(h * w, C).astype(md)
         dy = _dgen(dout, wlin_ref[:, :], ((1,), (1,)))   # [hw, D] f32
-        a_wlin = a_wlin + _dgen(y, dout, ((0,), (0,)))
-        dy_io = dy.astype(io)
-        dhid = _dgen(dy_io, w2_ref[:, :], ((1,), (1,)))  # [hw, 2D]
-        a_w2 = a_w2 + _dgen(hid, dy_io, ((0,), (0,)))
-        dpre_io = jnp.where(pre > 0, dhid, 0.0).astype(io)
-        a_w1 = a_w1 + _dgen(xn2, dpre_io, ((0,), (0,)))
-        dxn2 = _dgen(dpre_io, w1_ref[:, :], ((1,), (1,)))
+        a_wlin = a_wlin + _dgen(y.astype(md), dout, ((0,), (0,)))
+        dy_md = dy.astype(md)
+        dhid = _dgen(dy_md, w2_ref[:, :], ((1,), (1,)))  # [hw, 2D]
+        a_w2 = a_w2 + _dgen(hid, dy_md, ((0,), (0,)))
+        dpre_md = jnp.where(pre > 0, dhid, 0.0).astype(md)
+        a_w1 = a_w1 + _dgen(xn2, dpre_md, ((0,), (0,)))
+        dxn2 = _dgen(dpre_md, w1_ref[:, :], ((1,), (1,)))
         dln2w = jnp.sum(dxn2 * xhat2, axis=0, keepdims=True)
         dln2b = jnp.sum(dxn2, axis=0, keepdims=True)
         dxh2 = dxn2 * ln2w
         dx2 = dy + rstd2 * (
             dxh2 - jnp.mean(dxh2, axis=-1, keepdims=True)
             - xhat2 * jnp.mean(dxh2 * xhat2, axis=-1, keepdims=True))
-        dx2_io = dx2.astype(io)
-        dattn = _dgen(dx2_io, wo_ref[:, :], ((1,), (1,)))
-        a_wo = a_wo + _dgen(attn_f, dx2_io, ((0,), (0,)))
-        dattn_img = dattn.astype(io).reshape(h, w, D)
+        dx2_md = dx2.astype(md)
+        dattn = _dgen(dx2_md, wo_ref[:, :], ((1,), (1,)))
+        a_wo = a_wo + _dgen(attn_f, dx2_md, ((0,), (0,)))
+        dattn_img = dattn.astype(md).reshape(h, w, D)
         dtok = dx2                                       # residual, f32
 
         # ---- attention backward per tile (spa_attn_hp identities) ----
@@ -471,12 +484,12 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
                 dov = _dgen(do_t, v_rep, ((1,), (1,)))
                 Dt = _seg(a_f * dov, num_heads, KB, segt_ref)
                 D_b = jnp.dot(Dt, seg, preferred_element_type=f32)
-                ds = (a_f * (dov - D_b) * scale).astype(io)
-                a_io = a_f.astype(io)
+                ds = (a_f * (dov - D_b) * scale).astype(md)
+                a_md = a_f.astype(md)
                 dq_s[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw, :] = (
                     _dgen(ds, k_rep, ((1,), (0,))).reshape(th, tw, D))
                 dk_rep = _dgen(ds, q_t, ((0,), (0,)))    # [H*KB, D]
-                dv_rep = _dgen(a_io, do_t, ((0,), (0,)))
+                dv_rep = _dgen(a_md, do_t, ((0,), (0,)))
                 dk_t = jnp.zeros((nk, D), f32)
                 dv_t = jnp.zeros((nk, D), f32)
                 for hd in range(num_heads):
@@ -489,15 +502,15 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
                                         + dv_t.reshape(hl_h, hl_w, D))
 
         # ---- projections, LN1, tokenization backward ----
-        dq_io = dq_s[:, :, :].reshape(h * w, D).astype(io)
-        dk_io = dkpad_s[r:r + h, r:r + w, :].reshape(h * w, D).astype(io)
-        dv_io = dvpad_s[r:r + h, r:r + w, :].reshape(h * w, D).astype(io)
-        dxn = (_dgen(dq_io, wqk_ref[:, :D], ((1,), (1,)))
-               + _dgen(dk_io, wqk_ref[:, D:], ((1,), (1,))))
+        dq_md = dq_s[:, :, :].reshape(h * w, D).astype(md)
+        dk_md = dkpad_s[r:r + h, r:r + w, :].reshape(h * w, D).astype(md)
+        dv_md = dvpad_s[r:r + h, r:r + w, :].reshape(h * w, D).astype(md)
+        dxn = (_dgen(dq_md, wqk_ref[:, :D], ((1,), (1,)))
+               + _dgen(dk_md, wqk_ref[:, D:], ((1,), (1,))))
         a_wqk = a_wqk + _dgen(
-            xn, jnp.concatenate([dq_io, dk_io], axis=1), ((0,), (0,)))
-        dtok = dtok + _dgen(dv_io, wv_ref[:, :], ((1,), (1,)))
-        a_wv = a_wv + _dgen(tok, dv_io, ((0,), (0,)))
+            xn, jnp.concatenate([dq_md, dk_md], axis=1), ((0,), (0,)))
+        dtok = dtok + _dgen(dv_md, wv_ref[:, :], ((1,), (1,)))
+        a_wv = a_wv + _dgen(tok_md, dv_md, ((0,), (0,)))
         dln1w = jnp.sum(dxn * xhat1, axis=0, keepdims=True)
         dln1b = jnp.sum(dxn, axis=0, keepdims=True)
         a_ln = a_ln + jnp.concatenate([dln1w, dln1b, dln2w, dln2b], axis=0)
@@ -507,16 +520,16 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
             - xhat1 * jnp.mean(dxh1 * xhat1, axis=-1, keepdims=True))
         dtok = dtok + dtokpe
         a_pe = a_pe + dtokpe
-        dtok_io = dtok.astype(io)
+        dtok_md = dtok.astype(md)
         dxpad_s[:, :, :] = jnp.zeros_like(dxpad_s)
         for t9 in range(9):
             ky, kx = t9 // 3, t9 % 3
             a_wu[t9] = a_wu[t9] + _dgen(
                 xpad_s[ky:ky + h, kx:kx + w, :].reshape(h * w, C),
-                dtok_io, ((0,), (0,)))
+                dtok_md, ((0,), (0,)))
             dxpad_s[ky:ky + h, kx:kx + w, :] = (
                 dxpad_s[ky:ky + h, kx:kx + w, :]
-                + _dgen(dtok_io, wu_ref[t9], ((1,), (1,))).reshape(h, w, C))
+                + _dgen(dtok_md, wu_ref[t9], ((1,), (1,))).reshape(h, w, C))
         dx_ref[vi] = dxpad_s[1:1 + h, 1:1 + w, :].astype(io)
 
     dpe_ref[:, :, :] = dpe_ref[:, :, :] + a_pe.reshape(h, w, D)
@@ -530,28 +543,28 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
     dwlin_ref[:, :] = dwlin_ref[:, :] + a_wlin
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
 def spa_block_core(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
-                   num_heads, k):
+                   num_heads, k, mm_half=False):
     """Differentiable fused SpaTrans block on view-major [B, h, w, C]
     images. Weights are the kernel-layout tensors from `_prep`; ln is
     [4, D] = (norm.w, norm.b, ffn_ln.w, ffn_ln.b). pe_tok (the PE after
     unfold+MLP) receives a REAL cotangent -- it carries MLP.weight
     dependence (reference model/LFT.py:180)."""
     return _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t,
-                     wlin_t, num_heads, k)
+                     wlin_t, num_heads, k, mm_half=mm_half)
 
 
 def _spa_vjp_fwd(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
-                 num_heads, k):
+                 num_heads, k, mm_half):
     out, tok, ml, attn = _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t,
                                    w1_t, w2_t, wlin_t, num_heads, k,
-                                   with_res=True)
+                                   with_res=True, mm_half=mm_half)
     return out, (x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
                  tok, ml, attn)
 
 
-def _spa_vjp_bwd(num_heads, k, res, dout):
+def _spa_vjp_bwd(num_heads, k, mm_half, res, dout):
     (x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
      tok, ml, attn) = res
     B, h, w, C = x.shape
@@ -559,6 +572,7 @@ def _spa_vjp_bwd(num_heads, k, res, dout):
     r = k // 2
     from lft_tpu.kernels.common import bwd_io_dtype
     io = bwd_io_dtype(x.dtype)
+    md = jnp.bfloat16 if mm_half else io
     th, tw, KB = pick_hp_geometry(h, w, num_heads, k)
     n_tiles = (h // th) * (w // tw)
     nq = th * tw
@@ -567,7 +581,7 @@ def _spa_vjp_bwd(num_heads, k, res, dout):
     segt = jnp.asarray(_np_segsum_matrix(num_heads, KB))
     from lft_tpu.kernels.ang_attn_mxu import _seg_bcast_matrix
     seg = jnp.asarray(_seg_bcast_matrix(num_heads, KB))
-    hm = hm.astype(io)
+    hm = hm.astype(md)
     f32 = jnp.float32
 
     V = int(os.environ.get("LFT_SPAB_BWD_VPS", "1") or 1)
@@ -577,11 +591,15 @@ def _spa_vjp_bwd(num_heads, k, res, dout):
     x_p = pad4(x.astype(io))
     do_p = pad4(dout.astype(io))
     tok_p = pad4(tok.astype(io))
-    attn_p = pad4(attn.astype(io))
+    attn_p = pad4(attn.astype(md))
     ml_p = pad4(ml)
     if pad_b:
-        # pad views need finite stats (1/l); their grads are dropped
-        ml_p = ml_p.at[B:, 1].set(1.0)
+        # pad views need finite stats: l=1 gives a finite 1/l, and a large
+        # positive m makes a_f = exp(s - m) underflow to exactly 0 (instead
+        # of exp(s) unclamped, whose inf could poison the shared weight-
+        # grad accumulators via inf * 0 = NaN -- ADVICE r4 item 3); the
+        # pad views' own grads are dropped either way
+        ml_p = ml_p.at[B:, 0].set(1e9).at[B:, 1].set(1.0)
     Bp = B + pad_b
 
     full = lambda *dims: pl.BlockSpec(dims, lambda i: (0,) * len(dims),
@@ -594,10 +612,10 @@ def _spa_vjp_bwd(num_heads, k, res, dout):
                           lambda i: (i, 0, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel, h=h, w=w, th=th, tw=tw, r=r,
-                               KB=KB, num_heads=num_heads)
-    scratch = [pltpu.VMEM((h + 2, w + 2, C), io),          # xpad
-               pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),  # kpad
-               pltpu.VMEM((h + 2 * r, w + 2 * r, D), io),  # vpad
+                               KB=KB, num_heads=num_heads, mm_half=mm_half)
+    scratch = [pltpu.VMEM((h + 2, w + 2, C), md),          # xpad
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), md),  # kpad
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), md),  # vpad
                pltpu.VMEM((h, w, D), f32),                 # dq
                pltpu.VMEM((h + 2 * r, w + 2 * r, D), f32),  # dkpad
                pltpu.VMEM((h + 2 * r, w + 2 * r, D), f32),  # dvpad
@@ -622,8 +640,8 @@ def _spa_vjp_bwd(num_heads, k, res, dout):
                    acc((D, 2 * D)), acc((2 * D, D)), acc((D, C))),
         scratch_shapes=scratch,
     )(mask, segt, seg, hm, ln.astype(f32),
-      pe_tok.astype(io), wu.astype(io), wqk.astype(io), wv_t.astype(io),
-      wo_t.astype(io), w1_t.astype(io), w2_t.astype(io), wlin_t.astype(io),
+      pe_tok.astype(io), wu.astype(md), wqk.astype(md), wv_t.astype(md),
+      wo_t.astype(md), w1_t.astype(md), w2_t.astype(md), wlin_t.astype(md),
       x_p, tok_p, ml_p, attn_p, do_p)
     dx, dpe, dln, dwu, dwqk, dwv, dwo, dw1, dw2, dwlin = outs
     c = lambda g, t: g.astype(t.dtype)
@@ -636,7 +654,8 @@ spa_block_core.defvjp(_spa_vjp_fwd, _spa_vjp_bwd)
 
 
 def spa_trans_block_fused(x, pe_tok, params, prefix, num_heads: int,
-                          k: int, pixel_major: bool = False):
+                          k: int, pixel_major: bool = False,
+                          mm_half: bool = False):
     """Run the whole SpaTrans block on view images.
 
     x:      [B, h, w, C] view images (folded batch*A2), or with
@@ -647,12 +666,15 @@ def spa_trans_block_fused(x, pe_tok, params, prefix, num_heads: int,
     pe_tok: [h, w, D] the PE passed through unfold+MLP (computed outside,
             it is view-independent; its cotangent carries the MLP.weight
             dependence back to the caller);
-    params/prefix: the flat param dict and `altblock.{i}.spa_trans.`.
+    params/prefix: the flat param dict and `altblock.{i}.spa_trans.`;
+    mm_half: mixed-precision mode (`--dtype mixed`): f32 IO/residual
+            stream with bf16 matmul operands (see `_kernel`).
     Returns the same shape as `x`. The view-major form is differentiable
     (custom VJP, one fused recompute+backward kernel); the pixel-major
     form stays inference-only.
     """
     wts = _prep(params, prefix)
     if pixel_major:
-        return _fwd_call(x, pe_tok, *wts, num_heads, k, pixel_major=True)
-    return spa_block_core(x, pe_tok, *wts, num_heads, k)
+        return _fwd_call(x, pe_tok, *wts, num_heads, k, pixel_major=True,
+                         mm_half=mm_half)
+    return spa_block_core(x, pe_tok, *wts, num_heads, k, mm_half)

@@ -195,14 +195,16 @@ def _ang_trans(x: jnp.ndarray, p: Dict[str, jnp.ndarray], prefix: str,
 
 def _spa_trans(x: jnp.ndarray, p: Dict[str, jnp.ndarray], prefix: str,
                spa_pe: jnp.ndarray, impl: str,
-               fused: bool = False) -> jnp.ndarray:
+               fused: bool = False, mm_half: bool = False) -> jnp.ndarray:
     """Spatial transformer over [B, A2, h, w, C]
     (reference model/LFT.py:118-191).
 
     `fused=True` runs the whole block -- unfold conv, PE add, LayerNorm,
     projections, windowed attention, residuals, FFN, Token2SAI -- as ONE
     Pallas kernel (kernels/spa_block.py); differentiable via its fused
-    recompute+backward custom VJP."""
+    recompute+backward custom VJP. `mm_half=True` keeps the block's
+    activations/residuals/softmax in the IO dtype (f32 in the shipping
+    `--dtype mixed` config) while matmul operands are cast to bf16."""
     B, A2, h, w, C = x.shape
     img = x.reshape(B * A2, h, w, C)
     if fused:
@@ -210,7 +212,8 @@ def _spa_trans(x: jnp.ndarray, p: Dict[str, jnp.ndarray], prefix: str,
         pe_tok = unfold3x3_linear(spa_pe[None].astype(img.dtype),
                                   p[prefix + "MLP.weight"])[0]
         out = spa_trans_block_fused(img, pe_tok, p, prefix,
-                                    NUM_HEADS, KERNEL_SEARCH)
+                                    NUM_HEADS, KERNEL_SEARCH,
+                                    mm_half=mm_half)
         return out.reshape(B, A2, h, w, C)
     tok = unfold3x3_linear(img, p[prefix + "MLP.weight"])        # [B*A2, h, w, 2C]
     pe_tok = unfold3x3_linear(spa_pe[None].astype(img.dtype),
@@ -260,19 +263,27 @@ def forward(params: Dict[str, jnp.ndarray], lr: jnp.ndarray, args,
     S = args.scale_factor
     C = args.channels
     impl = attention_impl or getattr(args, "attention_impl", "auto") or "auto"
-    compute_dtype = jnp.dtype(dtype or getattr(args, "dtype", "float32"))
+    dt = str(dtype or getattr(args, "dtype", "float32") or "float32")
+    # "mixed": the shipping TPU precision mode -- f32 activations, residual
+    # stream, LayerNorms and softmax (no bf16 cast noise accumulating over
+    # the 8 transformer blocks, which measured -0.20 dB PSNR in the all-bf16
+    # config, PARITY_bf16.json r4), with matmul OPERANDS cast to bf16 so
+    # every contraction still runs at single-pass MXU rate (f32 accumulate).
+    mm_half = dt == "mixed"
+    compute_dtype = jnp.float32 if mm_half else jnp.dtype(dt)
     prec = getattr(args, "matmul_precision", "default")
     if prec and prec != "default":
         # trace the whole forward under the requested matmul precision
         # ('highest' => f32-exact parity mode; 'default' inherits ambient)
         with jax.default_matmul_precision(prec):
             return _forward_body(params, lr, args, impl, compute_dtype,
-                                 remat, fused)
-    return _forward_body(params, lr, args, impl, compute_dtype, remat, fused)
+                                 remat, fused, mm_half)
+    return _forward_body(params, lr, args, impl, compute_dtype, remat, fused,
+                         mm_half)
 
 
 def _forward_body(params, lr, args, impl, compute_dtype, remat=True,
-                  fused=False):
+                  fused=False, mm_half=False):
     A = args.angRes
     S = args.scale_factor
     C = args.channels
@@ -323,14 +334,14 @@ def _forward_body(params, lr, args, impl, compute_dtype, remat=True,
             t = buf.transpose(0, 2, 3, 1, 4)         # [B, h, w, A2, C]
             t = ang_trans_block_fused(
                 t.reshape(B * h * w, A * A, C), ang_pe, p,
-                f"altblock.{i}.ang_trans.", NUM_HEADS)
+                f"altblock.{i}.ang_trans.", NUM_HEADS, mm_half=mm_half)
             t = t.reshape(B, h, w, A * A, C).transpose(0, 3, 1, 2, 4)
             s_pref = f"altblock.{i}.spa_trans."
             pe_tok = unfold3x3_linear(spa_pe[None].astype(compute_dtype),
                                       p[s_pref + "MLP.weight"])[0]
             out = spa_trans_block_fused(
                 t.reshape(B * A * A, h, w, C), pe_tok, p, s_pref,
-                NUM_HEADS, KERNEL_SEARCH)
+                NUM_HEADS, KERNEL_SEARCH, mm_half=mm_half)
             buf = out.reshape(B, A * A, h, w, C)
         buf = buf + res                              # model/LFT.py:76
         # views -> mosaic (reference model/LFT.py:79)

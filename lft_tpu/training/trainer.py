@@ -90,25 +90,34 @@ def make_train_step(model, optimizer, args, with_metrics: bool = True) -> Callab
     remat = getattr(args, "train_remat", True)
     # --train_fused: run each whole transformer block as ONE Pallas kernel
     # in forward AND backward (kernels/{spa,ang}_block.py custom VJPs).
-    # auto = TPU + bfloat16 (the f32 backward's VMEM blocks don't fit the
-    # production geometry); the forward itself additionally gates on the
-    # block kernels' geometry applicability. Fused blocks recompute
-    # internally, so the block-level remat would only replay the fused
-    # forward for nothing -- force it off.
+    # auto = TPU + a half-precision-matmul dtype (bfloat16 or the shipping
+    # `mixed`; the all-f32 backward's VMEM blocks don't fit the production
+    # geometry). The forward itself gates on the block kernels' geometry
+    # applicability and falls back to the remat'd unfused path when it
+    # doesn't qualify -- so remat is passed through unchanged, NOT forced
+    # off here (a geometry fallback must keep its HBM protection; fused
+    # blocks themselves never consult remat). (ADVICE r4 item 2)
     tf = str(getattr(args, "train_fused", "auto")).lower()
     if tf == "auto":
         fused = (jax.devices()[0].platform == "tpu"
-                 and jnp.dtype(getattr(args, "dtype", "float32"))
-                 == jnp.bfloat16)
+                 and str(getattr(args, "dtype", "float32"))
+                 in ("bfloat16", "mixed"))
     else:
         fused = tf in ("true", "1", "yes")
-    if fused:
-        remat = False
+
+    # pass only the optional keywords the model DECLARES (its ModelDef
+    # capabilities) -- a second registered model without remat=/fused=
+    # keywords must not TypeError here (ADVICE r4 item 1)
+    kw = {}
+    if "remat" in model.capabilities:
+        kw["remat"] = remat
+    if "fused" in model.capabilities:
+        kw["fused"] = fused
 
     def loss_fn(params, data, label):
         # the fused Pallas kernels carry custom VJPs, so every impl
         # (incl. 'auto' -> pallas on TPU) is trainable
-        sr = model.apply(params, data, args, remat=remat, fused=fused)
+        sr = model.apply(params, data, args, **kw)
         return model.loss(sr, label), sr
 
     def step(params, opt_state, data, label):

@@ -459,3 +459,89 @@ def test_model_grad_fused_blocks_production_geometry():
         # absolute floor: deep LN-affine grads through 4 blocks are ~1e-6
         # -- a pure relative bound amplifies f32 rounding noise
         assert diff < 5e-4 * scale + 2e-9, (k, diff, scale)
+
+
+def test_spa_block_fused_mixed_close_to_f32():
+    """Mixed mode (mm_half=True: f32 IO/residuals, bf16 matmul operands --
+    the `--dtype mixed` shipping config) must track the exact-f32 unfused
+    path to bf16-matmul noise, i.e. ~100x tighter than an all-bf16 block
+    (where IO/residual casts dominate, PARITY_bf16.json r4)."""
+    import lft_tpu.models.lft as lft_mod
+    from lft_tpu.config import Args
+    from lft_tpu.ops.posenc import spatial_position
+    args = Args(angRes=5, scale_factor=2, channels=64, model_name="LFT")
+    params = lft_mod.init_params(jax.random.PRNGKey(0), args)
+    C, h, w, B = 64, 16, 16, 3
+    prefix = "altblock.1.spa_trans."
+    x = _rand((1, B, h, w, C), 60)
+    spa_pe = jnp.asarray(spatial_position(h, w, C))
+    ref = lft_mod._spa_trans(x, params, prefix, spa_pe, "tiled")
+    got = lft_mod._spa_trans(x, params, prefix, spa_pe, "tiled",
+                             fused=True, mm_half=True)
+    assert got.dtype == ref.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    err = float(jnp.max(jnp.abs(got - ref))) / scale
+    assert err < 2e-2, err
+
+
+def test_ang_block_fused_mixed_close_to_f32():
+    import lft_tpu.models.lft as lft_mod
+    from lft_tpu.config import Args
+    from lft_tpu.kernels.ang_block import ang_trans_block_fused
+    from lft_tpu.ops.posenc import angular_position
+    args = Args(angRes=5, scale_factor=2, channels=64, model_name="LFT")
+    params = lft_mod.init_params(jax.random.PRNGKey(2), args)
+    C, h, w, B, A2 = 64, 8, 8, 2, 25
+    prefix = "altblock.2.ang_trans."
+    x = _rand((B, A2, h, w, C), 70)
+    ang_pe = jnp.asarray(angular_position(A2, C))
+    ref = lft_mod._ang_trans(x, params, prefix, ang_pe, impl="xla")
+    toks = x.transpose(0, 2, 3, 1, 4).reshape(B * h * w, A2, C)
+    got = ang_trans_block_fused(toks, ang_pe, params, prefix, 8,
+                                mm_half=True)
+    got = got.reshape(B, h, w, A2, C).transpose(0, 3, 1, 2, 4)
+    assert got.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    err = float(jnp.max(jnp.abs(got - ref))) / scale
+    assert err < 2e-2, err
+
+
+def test_fused_mixed_grads_finite_and_close():
+    """Gradients through BOTH fused blocks in mixed mode: finite (the pad
+    rows' m=1e9 guard, ADVICE r4 item 3) and within bf16-matmul noise of
+    the f32 unfused autodiff."""
+    import lft_tpu.models.lft as lft_mod
+    from lft_tpu.config import Args
+    from lft_tpu.kernels.ang_block import ang_trans_block_fused
+    from lft_tpu.ops.posenc import spatial_position
+    args = Args(angRes=5, scale_factor=2, channels=64, model_name="LFT")
+    params = lft_mod.init_params(jax.random.PRNGKey(0), args)
+    C, h, w, B = 64, 16, 16, 3   # B=3 exercises the view-pad drop
+    prefix = "altblock.1.spa_trans."
+    x = _rand((1, B, h, w, C), 60)
+    spa_pe = jnp.asarray(spatial_position(h, w, C))
+    sub = {k: params[k] for k in params if k.startswith(prefix)}
+
+    def loss(sub, x_, fused, mm):
+        p = dict(params)
+        p.update(sub)
+        out = lft_mod._spa_trans(x_, p, prefix, spa_pe, "tiled",
+                                 fused=fused, mm_half=mm)
+        return jnp.sum(out * jnp.cos(out))
+
+    (g1, gx1) = jax.grad(loss, argnums=(0, 1))(sub, x, False, False)
+    (g2, gx2) = jax.grad(loss, argnums=(0, 1))(sub, x, True, True)
+
+    def rel2(a, b):
+        return float(jnp.linalg.norm((a - b).ravel())
+                     / (jnp.linalg.norm(a.ravel()) + 1e-9))
+
+    # L2-relative, not worst-element: bf16-operand rounding in the grad
+    # accumulations measures 0.2-2.7% in L2 (training-irrelevant next to
+    # batch noise) while the heavy-tailed per-element max hits ~8% on
+    # elements far below the grad's scale. The OUTPUT parity above is 2e-2.
+    for k in g1:
+        assert bool(jnp.all(jnp.isfinite(g2[k]))), k
+        assert rel2(g1[k], g2[k]) < 5e-2, k
+    assert bool(jnp.all(jnp.isfinite(gx2)))
+    assert rel2(gx1, gx2) < 5e-2

@@ -471,3 +471,87 @@ def test_train_step_remat_flag_parity():
     for k in outs[True][0]:
         np.testing.assert_allclose(outs[True][0][k], outs[False][0][k],
                                    atol=2e-6, err_msg=k)
+
+
+def test_evaluate_dataset_groups_mixed_shapes():
+    """A mixed-size dataset in alternating order must (a) produce the
+    same metrics/rows as a scene_batch=1 sweep -- grouping only reorders
+    the sweep -- and (b) actually share dispatches within each shape
+    group (VERDICT r4 weak-item 5: flush-on-shape-change alone degrades
+    alternating shapes to scene_batch=1)."""
+    from lft_tpu.inference.tiled import evaluate_dataset
+
+    class MixedSet:
+        """Scenes alternate between two geometries."""
+
+        def __init__(self):
+            rng = np.random.RandomState(7)
+            self.scenes = []
+            for i in range(6):
+                h0, w0 = (12, 12) if i % 2 == 0 else (16, 12)
+                lr = rng.rand(5 * h0, 5 * w0).astype(np.float32)
+                hr = rng.rand(5 * h0 * 2, 5 * w0 * 2).astype(np.float32)
+                self.scenes.append((lr, hr))
+
+        def __len__(self):
+            return len(self.scenes)
+
+        def scene_name(self, i):
+            return f"scene{i}"
+
+        def scene_shape(self, i):
+            return self.scenes[i][0].shape
+
+        def __getitem__(self, i):
+            return self.scenes[i]
+
+    args = Args(angRes=5, scale_factor=2, channels=8, eval_batch=4,
+                patch_size_for_test=8, stride_for_test=4)
+    model = get_model(args)
+    params = model.init(jax.random.PRNGKey(0), args)
+    ds = MixedSet()
+
+    calls = []
+
+    class CountingCache(ScenePipelineCache):
+        def run_batch(self, params, lrs):
+            calls.append(len(lrs))
+            return super().run_batch(params, lrs)
+
+    base = evaluate_dataset(model.apply, params, args, ds,
+                            cache=ScenePipelineCache(model.apply, args,
+                                                     scene_batch=1))
+    grouped = evaluate_dataset(model.apply, params, args, ds,
+                               cache=CountingCache(model.apply, args,
+                                                   scene_batch=3))
+    assert base[2] == grouped[2]          # per-scene rows, dataset order
+    assert (base[0], base[1]) == (grouped[0], grouped[1])
+    # 3 scenes of each shape, scene_batch=3 -> exactly one dispatch per
+    # shape group; without grouping the alternating order would give 6
+    assert calls == [3, 3], calls
+
+
+def test_capabilities_survive_wrappers():
+    """capabilities_of must resolve wrapped applies (functools.partial /
+    functools.wraps chains) to the owning ModelDef's declared set
+    (VERDICT r4 weak-item 6)."""
+    import functools
+    from lft_tpu.registry import MODEL_REGISTRY, capabilities_of
+    lft = MODEL_REGISTRY["LFT"]
+    assert capabilities_of(lft.apply) == lft.capabilities
+
+    wrapped = functools.partial(lft.apply)
+    assert capabilities_of(wrapped) == lft.capabilities
+    double = functools.partial(wrapped)
+    assert capabilities_of(double) == lft.capabilities
+
+    @functools.wraps(lft.apply)
+    def adapter(*a, **kw):
+        return lft.apply(*a, **kw)
+
+    assert capabilities_of(adapter) == lft.capabilities
+
+    def stranger(*a, **kw):
+        return None
+
+    assert capabilities_of(stranger) == frozenset()

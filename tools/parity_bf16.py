@@ -90,6 +90,9 @@ def main(argv=None):
     ap.add_argument("--eval_batch", type=int, default=16)
     ap.add_argument("--psnr_tol", type=float, default=0.01)
     ap.add_argument("--ssim_tol", type=float, default=1e-4)
+    ap.add_argument("--ship_dtype", default="mixed",
+                    choices=["mixed", "bfloat16", "float32"],
+                    help="the shipping leg's dtype (what bench.py runs)")
     ap.add_argument("--json", default=None)
     ns = ap.parse_args(argv)
 
@@ -118,13 +121,17 @@ def main(argv=None):
     args_exact = Args(dtype="float32", matmul_precision="highest",
                       attention_impl="tiled", eval_bucket=0, scene_batch=1,
                       **common)
-    # (b) shipping: what bench.py measures / stock TPU test.py runs
-    args_ship = Args(dtype="bfloat16", attention_impl="auto",
+    # (b) shipping: what bench.py measures / stock TPU test.py runs.
+    # `mixed` = f32 activations/residual stream with bf16 matmul operands
+    # in the fused kernels: the all-bf16 config measured -0.20 dB PSNR
+    # here (r4) -- cast noise on the residual stream, not matmul precision
+    args_ship = Args(dtype=ns.ship_dtype, attention_impl="auto",
                      eval_bucket=-1, scene_batch=-1, **common)
 
     print(f"device: {jax.devices()[0]}  ckpt: {ckpt_used}", flush=True)
     exact = _eval_leg(params, scenes, args_exact, "f32-exact  ")
-    ship = _eval_leg(params, scenes, args_ship, "bf16-fused ")
+    ship = _eval_leg(params, scenes, args_ship,
+                     f"{ns.ship_dtype:<11s}")
 
     d_psnr = [b[0] - a[0] for a, b in zip(exact, ship)]
     d_ssim = [b[1] - a[1] for a, b in zip(exact, ship)]
@@ -132,16 +139,18 @@ def main(argv=None):
     ok = (abs(mean(d_psnr)) <= ns.psnr_tol
           and abs(mean(d_ssim)) <= ns.ssim_tol)
     result = {
-        "workload": "shipping (bf16 + fused whole-block kernels + bench "
-                    "pipeline knobs) vs f32-exact evaluation on identical "
-                    "scenes/weights (VERDICT round-3 item 2)",
+        "workload": f"shipping (dtype={ns.ship_dtype} + fused whole-block "
+                    "kernels + bench pipeline knobs) vs f32-exact "
+                    "evaluation on identical scenes/weights "
+                    "(VERDICT round-4 item 1)",
+        "ship_dtype": ns.ship_dtype,
         "device": str(jax.devices()[0]),
         "config": {**common, "n_scenes": ns.n_scenes, "test_hw": ns.test_hw,
                    "ckpt": os.path.basename(str(ckpt_used))},
         "f32_exact": {"psnr": [a[0] for a in exact],
                       "ssim": [a[1] for a in exact]},
-        "bf16_fused": {"psnr": [b[0] for b in ship],
-                       "ssim": [b[1] for b in ship]},
+        "shipping": {"psnr": [b[0] for b in ship],
+                     "ssim": [b[1] for b in ship]},
         "delta": {"psnr_per_scene": d_psnr, "ssim_per_scene": d_ssim,
                   "psnr_mean": mean(d_psnr), "ssim_mean": mean(d_ssim),
                   "psnr_worst": float(max(abs(d) for d in d_psnr)),
@@ -149,6 +158,10 @@ def main(argv=None):
         "tolerance": {"psnr_db": ns.psnr_tol, "ssim": ns.ssim_tol},
         "ok": bool(ok),
     }
+    # pin the artifact to the sources it measured, so bench.py's quality
+    # gate can refuse a stale claim after kernel changes (ADVICE r4 item 4)
+    from lft_tpu.utils.srchash import shipping_source_hash
+    result["source_hash"] = shipping_source_hash()
     print(json.dumps({"dPSNR_mean": round(mean(d_psnr), 5),
                       "dSSIM_mean": round(mean(d_ssim), 7),
                       "dPSNR_worst": result["delta"]["psnr_worst"],
