@@ -545,3 +545,32 @@ def test_fused_mixed_grads_finite_and_close():
         assert rel2(g1[k], g2[k]) < 5e-2, k
     assert bool(jnp.all(jnp.isfinite(gx2)))
     assert rel2(gx1, gx2) < 5e-2
+
+
+def test_fused_falls_back_on_nonqualifying_geometry():
+    """forward(fused=True) on a geometry the fused blocks DON'T support
+    (angRes 13: A^2 = 169 > the angular kernel's 128-row block) must
+    silently take the unfused path and still match forward(fused=False)
+    exactly -- and train (finite grads through the remat'd fallback).
+    The envelope itself is wide (kernels/README.md): the gates are
+    A^2 <= 128, spa_dim % heads == 0, and pick_hp_geometry's tile
+    limits (nq <= 128, n_tiles <= 64, H*KB <= 4096)."""
+    import jax
+    from lft_tpu.config import Args
+    from lft_tpu.kernels.spa_block import spa_block_applicable
+    from lft_tpu.kernels.ang_block import ang_block_applicable
+    from lft_tpu.models import lft
+    assert spa_block_applicable(8, 8, 16, 8, 5)
+    assert not spa_block_applicable(16, 16, 20, 8, 5)   # D % heads != 0
+    assert ang_block_applicable(25)
+    assert not ang_block_applicable(169)                # angRes 13
+    args = Args(angRes=13, scale_factor=2, channels=8)
+    p = lft.init_params(jax.random.PRNGKey(0), args)
+    x = _rand((1, 1, 13 * 8, 13 * 8), 31) + 0.5
+    ref = lft.forward(p, x, args, remat=False, fused=False)
+    got = lft.forward(p, x, args, remat=False, fused=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    y = _rand((1, 1, 13 * 16, 13 * 16), 32) + 0.5
+    g = jax.grad(lambda p: lft.l1_loss(
+        lft.forward(p, x, args, remat=True, fused=True), y))(p)
+    assert all(bool(jnp.all(jnp.isfinite(v))) for v in g.values())

@@ -93,6 +93,14 @@ def main(argv=None):
     ap.add_argument("--ship_dtype", default="mixed",
                     choices=["mixed", "bfloat16", "float32"],
                     help="the shipping leg's dtype (what bench.py runs)")
+    # ablation overrides for the ship leg (isolate which ingredient of the
+    # shipping config moves quality: kernels / XLA precision / bucketing /
+    # scene batching). Defaults = the real shipping config.
+    ap.add_argument("--ship_impl", default="auto")
+    ap.add_argument("--ship_matmul_precision", default="default",
+                    choices=["default", "high", "highest"])
+    ap.add_argument("--ship_bucket", type=int, default=-1)
+    ap.add_argument("--ship_scene_batch", type=int, default=-1)
     ap.add_argument("--json", default=None)
     ns = ap.parse_args(argv)
 
@@ -125,8 +133,10 @@ def main(argv=None):
     # `mixed` = f32 activations/residual stream with bf16 matmul operands
     # in the fused kernels: the all-bf16 config measured -0.20 dB PSNR
     # here (r4) -- cast noise on the residual stream, not matmul precision
-    args_ship = Args(dtype=ns.ship_dtype, attention_impl="auto",
-                     eval_bucket=-1, scene_batch=-1, **common)
+    args_ship = Args(dtype=ns.ship_dtype, attention_impl=ns.ship_impl,
+                     matmul_precision=ns.ship_matmul_precision,
+                     eval_bucket=ns.ship_bucket,
+                     scene_batch=ns.ship_scene_batch, **common)
 
     print(f"device: {jax.devices()[0]}  ckpt: {ckpt_used}", flush=True)
     exact = _eval_leg(params, scenes, args_exact, "f32-exact  ")

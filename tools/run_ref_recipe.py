@@ -67,7 +67,8 @@ def train_cmd(ns, log_root, use_pre=None):
            "--data_name", "SynthLF", "--epoch", str(ns.epochs),
            "--num_workers", str(ns.num_workers), "--seed", str(ns.seed),
            "--path_for_train", os.path.join(ns.data_root, "data_for_train") + os.sep,
-           "--path_log", log_root + os.sep]
+           "--path_log", log_root + os.sep,
+           "--dtype", ns.dtype, "--train_fused", ns.train_fused]
     if use_pre:
         cmd += ["--use_pre_pth", "True", "--path_pre_pth", use_pre]
     return cmd
@@ -155,6 +156,11 @@ def main(argv=None):
     ap.add_argument("--n_test", type=int, default=3)
     ap.add_argument("--num_workers", type=int, default=2)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16", "mixed"],
+                    help="training compute dtype (mixed = shipping config)")
+    ap.add_argument("--train_fused", default="auto",
+                    choices=["auto", "true", "false"])
     ap.add_argument("--kill_after_epoch", type=int, default=12)
     ap.add_argument("--kill_delay", type=float, default=8.0,
                     help="seconds past the kill-point checkpoint")
@@ -206,6 +212,7 @@ def main(argv=None):
                     f"{ns.scale}x config (VERDICT round-3 item 5)",
         "config": {
             "model": "LFT 5x5", "scale": ns.scale, "batch_size": ns.batch,
+            "dtype": ns.dtype, "train_fused": ns.train_fused,
             "lr": 2e-4, "lr_schedule": "StepLR(n_steps=15, gamma=0.5)",
             "epochs": ns.epochs, "num_workers": ns.num_workers,
             "seed": ns.seed,
