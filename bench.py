@@ -208,7 +208,12 @@ def main():
         with open(art) as f:
             q = json.load(f)
         from lft_tpu.utils.srchash import shipping_source_hash
-        stale = (q.get("source_hash") or "") != shipping_source_hash()
+        from lft_tpu.kernels.common import mm_hp_sites
+        stale = ((q.get("source_hash") or "") != shipping_source_hash()
+                 # the artifact is also stale if the mixed-mode matmul
+                 # site plan differs from what this process would trace
+                 or (q.get("mm_hp_sites") is not None
+                     and q["mm_hp_sites"] != sorted(mm_hp_sites())))
         quality = {"psnr_delta_vs_f32": q["delta"]["psnr_mean"],
                    "ssim_delta_vs_f32": q["delta"]["ssim_mean"],
                    "ok": bool(q["ok"]) and not stale, "stale": stale,

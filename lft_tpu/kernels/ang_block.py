@@ -64,9 +64,10 @@ def _ln(xf, w, b):
     return (xf - mu) * jax.lax.rsqrt(var + LN_EPS) * w + b
 
 
-def _mm(a, b):
+def _mm(a, b, prec=None):
     return jax.lax.dot_general(a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
 
 
 def _replicate(x, hm_ref, num_heads, rows):
@@ -85,57 +86,67 @@ def _replicate(x, hm_ref, num_heads, rows):
 
 def _kernel(mask_ref, hm_ref, pe_ref, ln_ref, wq_ref, wk_ref, wv_ref,
             wo_ref, w1_ref, w2_ref, x_ref, o_ref, *, num_heads,
-            mm_half=False, m_ref=None, l_ref=None, attn_ref=None):
+            mm_half=False, sites=frozenset(), m_ref=None, l_ref=None,
+            attn_ref=None):
     """One grid step = GPS groups. x_ref/o_ref [GPS, rows, C] where
     rows = G*A2; pe_ref [rows, C] f32 (ang_pe tiled across the group's
     pixels); mask_ref [rows, H*BLK] block-diagonal; ln_ref [4, C] f32.
 
     `mm_half` (the `--dtype mixed` shipping mode): IO, residual stream,
-    LayerNorms and softmax stats stay in the IO dtype (f32); values that
-    only feed matmuls are cast to bf16 (`md`). With mm_half=False md==io
-    and every cast below is a no-op."""
+    LayerNorms and softmax stats stay in the IO dtype (f32); each matmul
+    SITE follows the (mdt, mpr) plan of kernels/common.mm_site_plan --
+    f32 operands at precision=HIGHEST for the hp sites, bf16 single-pass
+    for the rest (see spa_block._kernel). With mm_half=False the plan is
+    the identity and every cast below is a no-op."""
+    from lft_tpu.kernels.common import mm_site_plan
     C = x_ref.shape[-1]
     rows = x_ref.shape[1]
     scale = jnp.float32(float(C // num_heads) ** -0.5)
     io = x_ref.dtype
-    md = jnp.bfloat16 if mm_half else io
+    mdt, mpr = mm_site_plan(mm_half, io, sites)
     ln1w, ln1b = ln_ref[0, :], ln_ref[1, :]
     ln2w, ln2b = ln_ref[2, :], ln_ref[3, :]
 
     for g in range(x_ref.shape[0]):
         x = x_ref[g]                                     # [rows, C]
         xf = x.astype(jnp.float32) + pe_ref[:, :]
-        xn = _ln(xf, ln1w, ln1b).astype(md)
-        q = _mm(xn, wq_ref[:, :]).astype(md)             # [rows, C]
-        k = _mm(xn, wk_ref[:, :]).astype(md)
-        v = _mm(x.astype(md), wv_ref[:, :]).astype(md)
+        xn = _ln(xf, ln1w, ln1b).astype(mdt["aqkv"])
+        q = _mm(xn, wq_ref[:, :], mpr["aqkv"]).astype(mdt["ascore"])
+        k = _mm(xn, wk_ref[:, :], mpr["aqkv"]).astype(mdt["ascore"])
+        v = _mm(x.astype(mdt["aqkv"]), wv_ref[:, :],
+                mpr["aqkv"]).astype(mdt["aav"])
         k_rep = _replicate(k, hm_ref, num_heads, rows)   # [H*BLK, C]
         v_rep = _replicate(v, hm_ref, num_heads, rows)
         s = jax.lax.dot_general(
             q, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [rows, H*BLK]
+            preferred_element_type=jnp.float32,
+            precision=mpr["ascore"])                     # [rows, H*BLK]
         s = s * scale + mask_ref[:, :]
-        # deferred-normalization row softmax (see ang_attn_mxu.py)
+        # deferred-normalization row softmax (see ang_attn_mxu.py;
+        # _seg_sums is exact VPU slice reduction)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         l = _seg_sums(e, num_heads, BLK)                 # [rows, H]
         out_raw = jax.lax.dot_general(
-            e.astype(md), v_rep,
+            e.astype(mdt["aav"]), v_rep,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [rows, C]
+            preferred_element_type=jnp.float32,
+            precision=mpr["aav"])                        # [rows, C]
         attn = out_raw * jnp.dot(1.0 / l,
                                  hm_ref[:, :].astype(jnp.float32),
-                                 preferred_element_type=jnp.float32)
-        attn_md = attn.astype(md)
+                                 preferred_element_type=jnp.float32,
+                                 precision=mpr["aav"])
+        attn_md = attn.astype(mdt["awo"])
         if m_ref is not None:
             m_ref[g] = m + jnp.zeros((rows, num_heads), jnp.float32)
             l_ref[g] = l
             attn_ref[g] = attn_md
         # fused post-chain
-        x2 = _mm(attn_md, wo_ref[:, :]).astype(io) + x
-        xn2 = _ln(x2.astype(jnp.float32), ln2w, ln2b).astype(md)
-        hid = jax.nn.relu(_mm(xn2, w1_ref[:, :])).astype(md)
-        y = _mm(hid, w2_ref[:, :]).astype(io) + x2
+        x2 = _mm(attn_md, wo_ref[:, :], mpr["awo"]).astype(io) + x
+        xn2 = _ln(x2.astype(jnp.float32), ln2w, ln2b).astype(mdt["affn"])
+        hid = jax.nn.relu(_mm(xn2, w1_ref[:, :],
+                              mpr["affn"])).astype(mdt["affn"])
+        y = _mm(hid, w2_ref[:, :], mpr["affn"]).astype(io) + x2
         o_ref[g] = y.astype(o_ref.dtype)
 
 
@@ -181,9 +192,12 @@ def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads,
     G = _pick_group(N, A2, GPS)
     rows = G * A2
     io = x.dtype
-    md = jnp.bfloat16 if mm_half else io  # matmul-operand dtype (mixed mode)
+    # per-site operand-dtype/precision plan (identity when mm_half=False)
+    from lft_tpu.kernels.common import mm_hp_sites, mm_site_plan
+    sites = mm_hp_sites() if mm_half else frozenset()
+    mdt, _ = mm_site_plan(mm_half, io, sites)
     mask, hm = (jnp.asarray(c) for c in _consts(A2, C, num_heads, G))
-    hm = hm.astype(md)
+    hm = hm.astype(mdt["ascore"])  # 0/1 mask: exact in any operand dtype
     pe_t = jnp.tile(pe.astype(jnp.float32), (G, 1))         # [rows, C]
     xg = _group(x, G, GPS)
     n_groups = xg.shape[0]
@@ -193,11 +207,12 @@ def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads,
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, num_heads=num_heads,
-                               mm_half=mm_half)
+                               mm_half=mm_half, sites=sites)
     interpret = jax.devices()[0].platform != "tpu"
-    wts = (mask, hm, pe_t, ln.astype(jnp.float32), wq_t.astype(md),
-           wk_t.astype(md), wv_t.astype(md), wo_t.astype(md),
-           w1_t.astype(md), w2_t.astype(md))
+    wts = (mask, hm, pe_t, ln.astype(jnp.float32), wq_t.astype(mdt["aqkv"]),
+           wk_t.astype(mdt["aqkv"]), wv_t.astype(mdt["aqkv"]),
+           wo_t.astype(mdt["awo"]), w1_t.astype(mdt["affn"]),
+           w2_t.astype(mdt["affn"]))
     in_specs = [full(rows, num_heads * BLK), full(num_heads, C),
                 full(rows, C), full(4, C), full(C, C), full(C, C),
                 full(C, C), full(C, C), full(C, 2 * C), full(2 * C, C),
@@ -213,7 +228,7 @@ def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads,
         def kernel_res(*a):
             ins, (o, mr, lr, ar) = a[:11], a[11:]
             _kernel(*ins, o, num_heads=num_heads, mm_half=mm_half,
-                    m_ref=mr, l_ref=lr, attn_ref=ar)
+                    sites=sites, m_ref=mr, l_ref=lr, attn_ref=ar)
 
         out, m, l, attn = pl.pallas_call(
             kernel_res, interpret=interpret, grid=(n_groups // GPS,),
@@ -224,8 +239,9 @@ def _core_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads,
                                             jnp.float32),
                        jax.ShapeDtypeStruct((n_groups, rows, num_heads),
                                             jnp.float32),
-                       # attn is a pure matmul operand downstream -> md
-                       jax.ShapeDtypeStruct((n_groups, rows, C), md)),
+                       # attn is a pure matmul operand downstream (awo site)
+                       jax.ShapeDtypeStruct((n_groups, rows, C),
+                                            mdt["awo"])),
         )(*wts, xg)
         tok = lambda a, d: a.reshape(-1, A2, d)[:N]
         return (tok(out, C), tok(m, num_heads), tok(l, num_heads),
@@ -243,19 +259,20 @@ def _bwd_kernel(mask_ref, hm_ref, seg_ref, pe_ref, ln_ref, wq_ref, wk_ref,
                 wv_ref, wo_ref, w1_ref, w2_ref, x_ref, m_ref, l_ref,
                 attn_ref, do_ref, dx_ref,
                 dln_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dw1_ref,
-                dw2_ref, *, num_heads, mm_half=False):
+                dw2_ref, *, num_heads, mm_half=False, sites=frozenset()):
     """Fused backward for the whole AngTrans block, consuming the saved
     softmax stats and attention output (no fwd-attention recompute; only
     the flash-intrinsic score matmul remains). One grid step = GPS
     groups; weight-grad outputs have constant index maps, so they live
     in VMEM across the (sequential) grid and flush once. `mm_half`
-    mirrors the forward's mixed mode: f32 IO/residual cotangents, bf16
-    matmul operands, f32 accumulators."""
+    mirrors the forward's mixed mode (f32 IO/residual cotangents, f32
+    accumulators) with its OWN site plan (`sites`, LFT_MM_HP_BWD_SITES)."""
+    from lft_tpu.kernels.common import mm_site_plan
     C = x_ref.shape[-1]
     rows = x_ref.shape[1]
     scale = jnp.float32(float(C // num_heads) ** -0.5)
     io = x_ref.dtype
-    md = jnp.bfloat16 if mm_half else io
+    mdt, mpr = mm_site_plan(mm_half, io, sites)
     f32 = jnp.float32
     ln1w, ln1b = ln_ref[0, :], ln_ref[1, :]
     ln2w, ln2b = ln_ref[2, :], ln_ref[3, :]
@@ -280,86 +297,92 @@ def _bwd_kernel(mask_ref, hm_ref, seg_ref, pe_ref, ln_ref, wq_ref, wk_ref,
     a_w1 = jnp.zeros((C, 2 * C), f32)
     a_w2 = jnp.zeros((2 * C, C), f32)
 
-    def _dgen(a, b, dims):
+    def _dgen(a, b, dims, prec=None):
         return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=prec)
 
     for g in range(x_ref.shape[0]):
         x = x_ref[g]                                     # [rows, C] io
-        x_md = x.astype(md)
+        x_md = x.astype(mdt["aqkv"])
         do = do_ref[g]
-        do_md = do.astype(md)
+        do_md = do.astype(mdt["affn"])
         # ---- recompute the forward chain (same ops as _kernel) ----
         xf = x.astype(f32) + pe_ref[:, :]
         mu1 = jnp.mean(xf, axis=-1, keepdims=True)
         var1 = jnp.mean(jnp.square(xf - mu1), axis=-1, keepdims=True)
         rstd1 = jax.lax.rsqrt(var1 + LN_EPS)
         xhat1 = (xf - mu1) * rstd1
-        xn = (xhat1 * ln1w + ln1b).astype(md)
-        q = _mm(xn, wq_ref[:, :]).astype(md)             # [rows, C]
-        k = _mm(xn, wk_ref[:, :]).astype(md)
-        v = _mm(x_md, wv_ref[:, :]).astype(md)
+        xn = (xhat1 * ln1w + ln1b).astype(mdt["aqkv"])
+        q = _mm(xn, wq_ref[:, :], mpr["aqkv"]).astype(mdt["ascore"])
+        k = _mm(xn, wk_ref[:, :], mpr["aqkv"]).astype(mdt["ascore"])
+        v = _mm(x_md, wv_ref[:, :], mpr["aqkv"]).astype(mdt["aav"])
         k_rep = _replicate(k, hm_ref, num_heads, rows)   # [H*BLK, C]
         v_rep = _replicate(v, hm_ref, num_heads, rows)
-        s = _dgen(q, k_rep, ((1,), (1,))) * scale + mask_ref[:, :]
+        s = (_dgen(q, k_rep, ((1,), (1,)), mpr["ascore"]) * scale
+             + mask_ref[:, :])
         seg = seg_ref[:, :]                              # [H, H*BLK]
-        m_b = jnp.dot(m_ref[g], seg, preferred_element_type=f32)
-        inv_b = jnp.dot(1.0 / l_ref[g], seg, preferred_element_type=f32)
+        m_b = jnp.dot(m_ref[g], seg, preferred_element_type=f32,
+                      precision=mpr["ascore"])
+        inv_b = jnp.dot(1.0 / l_ref[g], seg, preferred_element_type=f32,
+                        precision=mpr["ascore"])
         a_f = jnp.exp(s - m_b) * inv_b                   # [rows, H*BLK]
         hm_f = hm_ref[:, :].astype(f32)
-        attn_md = attn_ref[g]                            # saved, md
-        x2 = _mm(attn_md, wo_ref[:, :]).astype(io) + x
+        attn_md = attn_ref[g].astype(mdt["awo"])         # saved
+        x2 = _mm(attn_md, wo_ref[:, :], mpr["awo"]).astype(io) + x
         x2f = x2.astype(f32)
         mu2 = jnp.mean(x2f, axis=-1, keepdims=True)
         var2 = jnp.mean(jnp.square(x2f - mu2), axis=-1, keepdims=True)
         rstd2 = jax.lax.rsqrt(var2 + LN_EPS)
         xhat2 = (x2f - mu2) * rstd2
-        xn2 = (xhat2 * ln2w + ln2b).astype(md)
-        pre1 = _mm(xn2, w1_ref[:, :])                    # [rows, 2C] f32
-        hid = jax.nn.relu(pre1).astype(md)
+        xn2 = (xhat2 * ln2w + ln2b).astype(mdt["affn"])
+        pre1 = _mm(xn2, w1_ref[:, :], mpr["affn"])       # [rows, 2C] f32
+        hid = jax.nn.relu(pre1).astype(mdt["affn"])
 
         # ---- backward ----
         # y = hid @ w2 + x2
-        dhid = _dgen(do_md, w2_ref[:, :], ((1,), (1,)))  # [rows, 2C]
-        a_w2 = a_w2 + _dgen(hid, do_md, ((0,), (0,)))    # [2C, C]
-        dpre1 = jnp.where(pre1 > 0, dhid, 0.0).astype(md)
-        a_w1 = a_w1 + _dgen(xn2, dpre1, ((0,), (0,)))    # [C, 2C]
-        dxn2 = _dgen(dpre1, w1_ref[:, :], ((1,), (1,)))  # [rows, C]
+        dhid = _dgen(do_md, w2_ref[:, :], ((1,), (1,)), mpr["affn"])
+        a_w2 = a_w2 + _dgen(hid, do_md, ((0,), (0,)), mpr["affn"])
+        dpre1 = jnp.where(pre1 > 0, dhid, 0.0).astype(mdt["affn"])
+        a_w1 = a_w1 + _dgen(xn2, dpre1, ((0,), (0,)), mpr["affn"])
+        dxn2 = _dgen(dpre1, w1_ref[:, :], ((1,), (1,)), mpr["affn"])
         dln2w = jnp.sum(dxn2 * xhat2, axis=0, keepdims=True)
         dln2b = jnp.sum(dxn2, axis=0, keepdims=True)
         dxh2 = dxn2 * ln2w
         dx2 = do.astype(f32) + rstd2 * (
             dxh2 - jnp.mean(dxh2, axis=-1, keepdims=True)
             - xhat2 * jnp.mean(dxh2 * xhat2, axis=-1, keepdims=True))
-        dx2_md = dx2.astype(md)
+        dx2_md = dx2.astype(mdt["awo"])
         # x2 = attn @ wo + x
-        dattn = _dgen(dx2_md, wo_ref[:, :], ((1,), (1,)))
-        a_wo = a_wo + _dgen(attn_md, dx2_md, ((0,), (0,)))
-        dattn_md = dattn.astype(md)
+        dattn = _dgen(dx2_md, wo_ref[:, :], ((1,), (1,)), mpr["awo"])
+        a_wo = a_wo + _dgen(attn_md, dx2_md, ((0,), (0,)), mpr["awo"])
+        dattn_md = dattn.astype(mdt["aav"])
         # block-diag attention backward (ang_attn_mxu identities)
-        dov = _dgen(dattn_md, v_rep, ((1,), (1,)))       # [rows, H*BLK]
+        dov = _dgen(dattn_md, v_rep, ((1,), (1,)), mpr["aav"])
         D = _seg_sums(a_f * dov, num_heads, BLK)         # [rows, H]
-        D_b = jnp.dot(D, seg, preferred_element_type=f32)
-        ds = (a_f * (dov - D_b) * scale).astype(md)
-        a_md = a_f.astype(md)
-        dq = _dgen(ds, k_rep, ((1,), (0,))).astype(md)   # [rows, C]
-        dk_rep = _dgen(ds, q, ((0,), (0,)))              # [H*BLK, C]
-        dv_rep = _dgen(a_md, dattn_md, ((0,), (0,)))
+        D_b = jnp.dot(D, seg, preferred_element_type=f32,
+                      precision=mpr["ascore"])
+        ds = (a_f * (dov - D_b) * scale).astype(mdt["ascore"])
+        a_md = a_f.astype(mdt["aav"])
+        dq = _dgen(ds, k_rep, ((1,), (0,)),
+                   mpr["ascore"]).astype(mdt["aqkv"])    # [rows, C]
+        dk_rep = _dgen(ds, q, ((0,), (0,)), mpr["ascore"])  # [H*BLK, C]
+        dv_rep = _dgen(a_md, dattn_md, ((0,), (0,)), mpr["aav"])
         dk = jnp.zeros((rows, C), f32)
         dv = jnp.zeros((rows, C), f32)
         for h in range(num_heads):
             hmv = hm_f[h:h + 1, :]
             dk = dk + dk_rep[h * BLK:h * BLK + rows] * hmv
             dv = dv + dv_rep[h * BLK:h * BLK + rows] * hmv
-        dk_md = dk.astype(md)
-        dv_md = dv.astype(md)
+        dk_md = dk.astype(mdt["aqkv"])
+        dv_md = dv.astype(mdt["aqkv"])
         # q = xn @ wq; k = xn @ wk; v = x @ wv
-        dxn = (_dgen(dq, wq_ref[:, :], ((1,), (1,)))
-               + _dgen(dk_md, wk_ref[:, :], ((1,), (1,))))
-        a_wq = a_wq + _dgen(xn, dq, ((0,), (0,)))
-        a_wk = a_wk + _dgen(xn, dk_md, ((0,), (0,)))
-        a_wv = a_wv + _dgen(x_md, dv_md, ((0,), (0,)))
-        dx = dx2 + _dgen(dv_md, wv_ref[:, :], ((1,), (1,)))
+        dxn = (_dgen(dq, wq_ref[:, :], ((1,), (1,)), mpr["aqkv"])
+               + _dgen(dk_md, wk_ref[:, :], ((1,), (1,)), mpr["aqkv"]))
+        a_wq = a_wq + _dgen(xn, dq, ((0,), (0,)), mpr["aqkv"])
+        a_wk = a_wk + _dgen(xn, dk_md, ((0,), (0,)), mpr["aqkv"])
+        a_wv = a_wv + _dgen(x_md, dv_md, ((0,), (0,)), mpr["aqkv"])
+        dx = dx2 + _dgen(dv_md, wv_ref[:, :], ((1,), (1,)), mpr["aqkv"])
         # LN1 backward
         dln1w = jnp.sum(dxn * xhat1, axis=0, keepdims=True)
         dln1b = jnp.sum(dxn, axis=0, keepdims=True)
@@ -409,15 +432,20 @@ def _vjp_fwd(x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, num_heads,
 def _vjp_bwd(num_heads, mm_half, res, dout):
     x, pe, ln, wq_t, wk_t, wv_t, wo_t, w1_t, w2_t, m, l, attn = res
     N, A2, C = x.shape
-    from lft_tpu.kernels.common import bwd_io_dtype
-    io = bwd_io_dtype(x.dtype)
-    md = jnp.bfloat16 if mm_half else io
+    from lft_tpu.kernels.common import (bwd_io_dtype, mm_hp_sites,
+                                        mm_site_plan)
+    io = bwd_io_dtype(x.dtype, mm_half)
+    # backward site plan (LFT_MM_HP_BWD_SITES, default none -- see
+    # spa_block._spa_vjp_bwd)
+    sites = (mm_hp_sites("LFT_MM_HP_BWD_SITES", "none") if mm_half
+             else frozenset())
+    mdt, _ = mm_site_plan(mm_half, io, sites)
     GPS = _bwd_gps()
     G = _pick_group(N, A2, GPS)
     rows = G * A2
     mask, hm = (jnp.asarray(c) for c in _consts(A2, C, num_heads, G))
     seg = jnp.asarray(_seg_bcast_matrix(num_heads, BLK))
-    hm = hm.astype(md)
+    hm = hm.astype(mdt["ascore"])
     pe_t = jnp.tile(pe.astype(jnp.float32), (G, 1))
     xg = _group(x.astype(io), G, GPS)
     dog = _group(dout.astype(io), G, GPS)
@@ -432,7 +460,7 @@ def _vjp_bwd(num_heads, mm_half, res, dout):
     # accumulators via inf * 0 = NaN -- ADVICE r4 item 3) and a finite 1/l
     mg = jnp.where(lg == 0, 1e9, mg)
     lg = jnp.where(lg == 0, 1.0, lg)
-    ag = _group(attn.astype(md), G, GPS)
+    ag = _group(attn.astype(mdt["awo"]), G, GPS)
     n_groups = xg.shape[0]
 
     grp = pl.BlockSpec((GPS, rows, C), lambda i: (i, 0, 0),
@@ -442,7 +470,7 @@ def _vjp_bwd(num_heads, mm_half, res, dout):
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
-                               mm_half=mm_half)
+                               mm_half=mm_half, sites=sites)
     interpret = jax.devices()[0].platform != "tpu"
     f32 = jnp.float32
     acc = lambda shp: jax.ShapeDtypeStruct(shp, f32)
@@ -458,9 +486,10 @@ def _vjp_bwd(num_heads, mm_half, res, dout):
         out_shape=(jax.ShapeDtypeStruct((n_groups, rows, C), io),
                    acc((4, C)), acc((C, C)), acc((C, C)), acc((C, C)),
                    acc((C, C)), acc((C, 2 * C)), acc((2 * C, C))),
-    )(mask, hm, seg, pe_t, ln.astype(f32), wq_t.astype(md),
-      wk_t.astype(md), wv_t.astype(md), wo_t.astype(md), w1_t.astype(md),
-      w2_t.astype(md), xg, mg, lg, ag, dog)
+    )(mask, hm, seg, pe_t, ln.astype(f32), wq_t.astype(mdt["aqkv"]),
+      wk_t.astype(mdt["aqkv"]), wv_t.astype(mdt["aqkv"]),
+      wo_t.astype(mdt["awo"]), w1_t.astype(mdt["affn"]),
+      w2_t.astype(mdt["affn"]), xg, mg, lg, ag, dog)
     dx = dx.reshape(-1, A2, C)[:N].astype(x.dtype)
     c = lambda g, w: g.astype(w.dtype)
     return (dx, jnp.zeros_like(pe), c(dln, ln), c(dwq, wq_t), c(dwk, wk_t),

@@ -192,14 +192,16 @@ def _np_segsum_matrix(num_heads: int, KB: int) -> np.ndarray:
     return _seg_bcast_matrix(num_heads, KB).T.copy()
 
 
-def _seg(x, num_heads, KB, segt_ref):
+def _seg(x, num_heads, KB, segt_ref, prec=None):
     """Per-head-block row sums [rows, H*KB] -> [rows, H]: aligned
-    lane-tile slice reductions when KB allows, else the SegT matmul."""
+    lane-tile slice reductions when KB allows, else the SegT matmul
+    (`prec` = its MXU precision; the VPU slice-sum path is exact)."""
     if KB % 128 == 0:
         return jnp.concatenate(
             [jnp.sum(x[:, b * KB:(b + 1) * KB], axis=-1, keepdims=True)
              for b in range(num_heads)], axis=-1)
-    return jnp.dot(x, segt_ref[:, :], preferred_element_type=jnp.float32)
+    return jnp.dot(x, segt_ref[:, :], preferred_element_type=jnp.float32,
+                   precision=prec)
 
 
 def _replicate(x_nk, hm_ref, num_heads, KB):

@@ -67,6 +67,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lft_tpu.kernels.common import mm_hp_sites, mm_site_plan
 from lft_tpu.kernels.spa_attn_hp import (
     _np_consts, _np_segsum_matrix, _replicate, _seg, pick_hp_geometry)
 
@@ -80,16 +81,17 @@ def _ln(xf, w, b):
     return (xf - mu) * jax.lax.rsqrt(var + LN_EPS) * w + b
 
 
-def _mm(a, b):
+def _mm(a, b, prec=None):
     return jax.lax.dot_general(a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
 
 
 def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
             wqk_ref, wv_ref, wo_ref, w1_ref, w2_ref, wlin_ref, x_ref, o_ref,
             xpad_s, kpad_s, vpad_s, attn_s, *, h, w, th, tw, r, KB,
-            num_heads, mm_half=False, tok_ref=None, ml_ref=None,
-            attn_ref=None):
+            num_heads, mm_half=False, sites=frozenset(), tok_ref=None,
+            ml_ref=None, attn_ref=None):
     """One grid step = V views. x_ref [V, h, w, C]; o_ref [V, h, w, C];
     xpad_s [h+2, w+2, C] and kpad_s/vpad_s [h+2r, w+2r, D] are VMEM
     scratch reused across views and grid steps (borders zeroed once);
@@ -98,10 +100,13 @@ def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
     per-tile matmuls measured ~8x below the M=1024 rate on v5e).
 
     `mm_half` (the `--dtype mixed` shipping mode): IO, residual stream,
-    LayerNorms and softmax stats stay in the IO dtype (f32), while every
-    value that ONLY feeds matmuls is cast to bf16 (`md`) -- full MXU rate
-    with no cast noise on the residual stream. With mm_half=False md==io
-    and every cast below is a no-op (bit-identical to the r4 kernel)."""
+    LayerNorms and softmax stats stay in the IO dtype (f32); each matmul
+    SITE follows the (mdt, mpr) plan of kernels/common.mm_site_plan --
+    f32 operands at precision=HIGHEST for the hp sites (Mosaic's DEFAULT
+    f32 dot rounds operands to bf16, the r4 shipping-quality regression),
+    bf16 single-pass for the rest. With mm_half=False the plan is the
+    identity and the kernel is bit-identical to the r4 kernel."""
+    from lft_tpu.kernels.common import mm_site_plan
     C = x_ref.shape[-1]
     D = wu_ref.shape[-1]
     hl_h, hl_w = th + 2 * r, tw + 2 * r
@@ -109,35 +114,37 @@ def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
     n_tw = w // tw
     scale = jnp.float32(float(D // num_heads) ** -0.5)
     io = x_ref.dtype
-    md = jnp.bfloat16 if mm_half else io
+    mdt, mpr = mm_site_plan(mm_half, io, sites)
     pe = pe_ref[:, :, :].astype(jnp.float32).reshape(h * w, D)
     ln1w, ln1b = ln_ref[0, :], ln_ref[1, :]
     ln2w, ln2b = ln_ref[2, :], ln_ref[3, :]
 
     @pl.when(pl.program_id(0) == 0)
     def _zero_borders():
-        xpad_s[:, :, :] = jnp.zeros((h + 2, w + 2, C), md)
-        kpad_s[:, :, :] = jnp.zeros((hl_h + h - th, hl_w + w - tw, D), md)
-        vpad_s[:, :, :] = jnp.zeros((hl_h + h - th, hl_w + w - tw, D), md)
+        xpad_s[:, :, :] = jnp.zeros(xpad_s.shape, xpad_s.dtype)
+        kpad_s[:, :, :] = jnp.zeros(kpad_s.shape, kpad_s.dtype)
+        vpad_s[:, :, :] = jnp.zeros(vpad_s.shape, vpad_s.dtype)
 
     for vi in range(x_ref.shape[0]):
         # tokenization: unfold(3x3, zero-pad) + Linear as 9 accumulated
         # [hw, C] @ [C, D] MXU taps (reference model/LFT.py:164-169)
-        xpad_s[1:1 + h, 1:1 + w, :] = x_ref[vi].astype(md)
-        tok_f = _mm(xpad_s[0:h, 0:w, :].reshape(h * w, C), wu_ref[0])
+        xpad_s[1:1 + h, 1:1 + w, :] = x_ref[vi].astype(mdt["tok"])
+        tok_f = _mm(xpad_s[0:h, 0:w, :].reshape(h * w, C), wu_ref[0],
+                    mpr["tok"])
         for t9 in range(1, 9):
             ky, kx = t9 // 3, t9 % 3
             tok_f = tok_f + _mm(
                 xpad_s[ky:ky + h, kx:kx + w, :].reshape(h * w, C),
-                wu_ref[t9])
+                wu_ref[t9], mpr["tok"])
         tok = tok_f.astype(io)                           # [hw, D]
         if tok_ref is not None:
             tok_ref[vi] = tok.reshape(h, w, D)
-        xn = _ln(tok_f + pe, ln1w, ln1b).astype(md)
-        qk = _mm(xn, wqk_ref[:, :])                      # [hw, 2D] MXU
-        q_img = qk[:, :D].astype(md).reshape(h, w, D)
-        k_img = qk[:, D:].astype(md).reshape(h, w, D)
-        v_img = _mm(tok.astype(md), wv_ref[:, :]).astype(md).reshape(h, w, D)
+        xn = _ln(tok_f + pe, ln1w, ln1b).astype(mdt["qk"])
+        qk = _mm(xn, wqk_ref[:, :], mpr["qk"])           # [hw, 2D] MXU
+        q_img = qk[:, :D].astype(mdt["score"]).reshape(h, w, D)
+        k_img = qk[:, D:].astype(mdt["score"]).reshape(h, w, D)
+        v_img = _mm(tok.astype(mdt["v"]), wv_ref[:, :],
+                    mpr["v"]).astype(mdt["av"]).reshape(h, w, D)
         # zero-halo k/v in VMEM (replaces the XLA pad ops of the unfused
         # path; zero-pad keys score exactly 0 -> the shared mask + npad
         # denominator correction of spa_attn_hp stays exact)
@@ -157,37 +164,42 @@ def _kernel(mask_ref, npad_ref, segt_ref, hm_ref, ln_ref, pe_ref, wu_ref,
                 v_rep = _replicate(v_t, hm_ref, num_heads, KB)
                 s = jax.lax.dot_general(
                     q_t, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [nq, H*KB] MXU
+                    preferred_element_type=jnp.float32,
+                    precision=mpr["score"])              # [nq, H*KB] MXU
                 s = s * scale + mask_ref[:, :]
                 # deferred-normalization row softmax + pad-count-corrected
                 # denominator (see kernels/spa_attn_hp.py)
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
-                l = _seg(e, num_heads, KB, segt_ref)
+                l = _seg(e, num_heads, KB, segt_ref, mpr["score"])
                 l = l - jnp.exp(-m) * npad_ref[t_idx]
                 if ml_ref is not None:
                     ml_ref[vi, 0, t_idx] = m + jnp.zeros(
                         (nq, num_heads), jnp.float32)
                     ml_ref[vi, 1, t_idx] = l
                 out_raw = jax.lax.dot_general(
-                    e.astype(md), v_rep,
+                    e.astype(mdt["av"]), v_rep,
                     dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [nq, D] MXU
+                    preferred_element_type=jnp.float32,
+                    precision=mpr["av"])                 # [nq, D] MXU
                 attn = out_raw * jnp.dot(
                     1.0 / l, hm_ref[:, :].astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=mpr["av"])
                 attn_s[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw, :] = (
-                    attn.astype(md).reshape(th, tw, D))
+                    attn.astype(mdt["wo"]).reshape(th, tw, D))
 
         if attn_ref is not None:
             attn_ref[vi] = attn_s[:, :, :]
         # fused post-chain once per view at full [hw, *] row fill
         attn_f = attn_s[:, :, :].reshape(h * w, D)
-        x2 = _mm(attn_f, wo_ref[:, :]).astype(io) + tok
-        xn2 = _ln(x2.astype(jnp.float32), ln2w, ln2b).astype(md)
-        hid = jax.nn.relu(_mm(xn2, w1_ref[:, :])).astype(md)
-        y = _mm(hid, w2_ref[:, :]).astype(io) + x2
-        out_v = _mm(y.astype(md), wlin_ref[:, :]).astype(o_ref.dtype)
+        x2 = _mm(attn_f, wo_ref[:, :], mpr["wo"]).astype(io) + tok
+        xn2 = _ln(x2.astype(jnp.float32), ln2w, ln2b).astype(mdt["ffn"])
+        hid = jax.nn.relu(_mm(xn2, w1_ref[:, :], mpr["ffn"])).astype(
+            mdt["ffn"])
+        y = _mm(hid, w2_ref[:, :], mpr["ffn"]).astype(io) + x2
+        out_v = _mm(y.astype(mdt["lin"]), wlin_ref[:, :],
+                    mpr["lin"]).astype(o_ref.dtype)
         o_ref[vi] = out_v.reshape(h, w, o_ref.shape[-1])
 
 
@@ -246,12 +258,14 @@ def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
     n_tiles = (h // th) * (w // tw)
     nq = th * tw
     io = x.dtype
-    md = jnp.bfloat16 if mm_half else io  # matmul-operand dtype (mixed mode)
+    # per-site operand-dtype/precision plan (identity when mm_half=False)
+    sites = mm_hp_sites() if mm_half else frozenset()
+    mdt, _ = mm_site_plan(mm_half, io, sites)
 
     mask, npad, hm = (jnp.asarray(c) for c in
                       _np_consts(th, tw, r, h, w, num_heads, D, KB))
     segt = jnp.asarray(_np_segsum_matrix(num_heads, KB))
-    hm = hm.astype(md)
+    hm = hm.astype(mdt["score"])  # 0/1 mask: exact in any operand dtype
     ln = ln.astype(jnp.float32)
 
     V = _views_per_step(n_tiles)
@@ -265,14 +279,16 @@ def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
     npspec = pl.BlockSpec((n_tiles, nq, num_heads), lambda *i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, h=h, w=w, th=th, tw=tw, r=r, KB=KB,
-                               num_heads=num_heads, mm_half=mm_half)
-    scratch = [pltpu.VMEM((h + 2, w + 2, C), md),
-               pltpu.VMEM((h + 2 * r, w + 2 * r, D), md),
-               pltpu.VMEM((h + 2 * r, w + 2 * r, D), md),
-               pltpu.VMEM((h, w, D), md)]
-    wts = (mask, npad, segt, hm, ln, pe_tok.astype(io), wu.astype(md),
-           wqk.astype(md), wv_t.astype(md), wo_t.astype(md),
-           w1_t.astype(md), w2_t.astype(md), wlin_t.astype(md))
+                               num_heads=num_heads, mm_half=mm_half,
+                               sites=sites)
+    scratch = [pltpu.VMEM((h + 2, w + 2, C), mdt["tok"]),
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), mdt["score"]),
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), mdt["av"]),
+               pltpu.VMEM((h, w, D), mdt["wo"])]
+    wts = (mask, npad, segt, hm, ln, pe_tok.astype(io), wu.astype(mdt["tok"]),
+           wqk.astype(mdt["qk"]), wv_t.astype(mdt["v"]),
+           wo_t.astype(mdt["wo"]), w1_t.astype(mdt["ffn"]),
+           w2_t.astype(mdt["ffn"]), wlin_t.astype(mdt["lin"]))
     wspecs = [full(nq, num_heads * KB), npspec,
               full(num_heads * KB, num_heads),
               full(num_heads, D), full(4, D), pespec, wuspec,
@@ -317,8 +333,8 @@ def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
         def kernel_res(*a):
             ins, (o, tokr, mlr, attnr), scr = a[:14], a[14:18], a[18:]
             _kernel(*ins, o, *scr, h=h, w=w, th=th, tw=tw, r=r, KB=KB,
-                    num_heads=num_heads, mm_half=mm_half, tok_ref=tokr,
-                    ml_ref=mlr, attn_ref=attnr)
+                    num_heads=num_heads, mm_half=mm_half, sites=sites,
+                    tok_ref=tokr, ml_ref=mlr, attn_ref=attnr)
 
         out, tok, ml, attn = pl.pallas_call(
             kernel_res, interpret=interpret, grid=(Bp // V,),
@@ -328,8 +344,8 @@ def _fwd_call(x, pe_tok, ln, wu, wqk, wv_t, wo_t, w1_t, w2_t, wlin_t,
                        jax.ShapeDtypeStruct((Bp, h, w, D), io),
                        jax.ShapeDtypeStruct((Bp, 2, n_tiles, nq, num_heads),
                                             jnp.float32),
-                       # attn is a pure matmul operand downstream -> md
-                       jax.ShapeDtypeStruct((Bp, h, w, D), md)),
+                       # attn is a pure matmul operand downstream (wo site)
+                       jax.ShapeDtypeStruct((Bp, h, w, D), mdt["wo"])),
             scratch_shapes=scratch,
         )(*wts, x_p)
         return out[:B], tok[:B], ml[:B], attn[:B]
@@ -349,7 +365,8 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
                 dx_ref, dpe_ref, dln_ref, dwu_ref,
                 dwqk_ref, dwv_ref, dwo_ref, dw1_ref, dw2_ref, dwlin_ref,
                 xpad_s, kpad_s, vpad_s, dq_s, dkpad_s, dvpad_s,
-                dxpad_s, *, h, w, th, tw, r, KB, num_heads, mm_half=False):
+                dxpad_s, *, h, w, th, tw, r, KB, num_heads, mm_half=False,
+                sites=frozenset()):
     """Fused backward for the whole SpaTrans block, consuming the
     residuals the training forward streamed out (tok, per-tile softmax
     stats, attention output) so the only recompute left is the cheap
@@ -358,8 +375,11 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
     step = V views; weight-grad outputs have constant index maps, so
     they live in VMEM across the (sequential) grid and flush once;
     dkpad_s/dvpad_s are f32 halo accumulators cropped like the
-    spa_attn_hp backward. `mm_half` mirrors the forward's mixed mode:
-    f32 IO/residual cotangents, bf16 matmul operands, f32 accumulators."""
+    spa_attn_hp backward. `mm_half` mirrors the forward's mixed mode
+    (f32 IO/residual cotangents, f32 accumulators) with its OWN site
+    plan (`sites`, from LFT_MM_HP_BWD_SITES): each recompute/cotangent
+    matmul follows the site of the forward op it belongs to."""
+    from lft_tpu.kernels.common import mm_site_plan
     C = x_ref.shape[-1]
     D = wu_ref.shape[-1]
     hl_h, hl_w = th + 2 * r, tw + 2 * r
@@ -367,20 +387,21 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
     n_tw = w // tw
     scale = jnp.float32(float(D // num_heads) ** -0.5)
     io = x_ref.dtype
-    md = jnp.bfloat16 if mm_half else io
+    mdt, mpr = mm_site_plan(mm_half, io, sites)
     f32 = jnp.float32
     pe = pe_ref[:, :, :].astype(f32).reshape(h * w, D)
     ln1w, ln1b = ln_ref[0, :], ln_ref[1, :]
     ln2w, ln2b = ln_ref[2, :], ln_ref[3, :]
     hm_f = hm_ref[:, :].astype(f32)
 
-    def _dgen(a, b, dims):
+    def _dgen(a, b, dims, prec=None):
         return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=prec)
 
     @pl.when(pl.program_id(0) == 0)
     def _zero():
-        xpad_s[:, :, :] = jnp.zeros((h + 2, w + 2, C), md)
+        xpad_s[:, :, :] = jnp.zeros(xpad_s.shape, xpad_s.dtype)
         kpad_s[:, :, :] = jnp.zeros_like(kpad_s)
         vpad_s[:, :, :] = jnp.zeros_like(vpad_s)
         dpe_ref[:, :, :] = jnp.zeros_like(dpe_ref)
@@ -405,54 +426,59 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
 
     for vi in range(x_ref.shape[0]):
         # ---- light recompute: LN1 (VPU) + q/k/v projections + halos ----
-        xpad_s[1:1 + h, 1:1 + w, :] = x_ref[vi].astype(md)  # for the dwu taps
+        xpad_s[1:1 + h, 1:1 + w, :] = (
+            x_ref[vi].astype(mdt["tok"]))                # for the dwu taps
         tok = tok_ref[vi].reshape(h * w, D)              # saved, io
-        tok_md = tok.astype(md)
+        tok_md = tok.astype(mdt["v"])
         xf = tok.astype(f32) + pe
         mu1 = jnp.mean(xf, axis=-1, keepdims=True)
         var1 = jnp.mean(jnp.square(xf - mu1), axis=-1, keepdims=True)
         rstd1 = jax.lax.rsqrt(var1 + LN_EPS)
         xhat1 = (xf - mu1) * rstd1
-        xn = (xhat1 * ln1w + ln1b).astype(md)
-        qk = _mm(xn, wqk_ref[:, :])                      # [hw, 2D]
-        q_img = qk[:, :D].astype(md).reshape(h, w, D)
+        xn = (xhat1 * ln1w + ln1b).astype(mdt["qk"])
+        qk = _mm(xn, wqk_ref[:, :], mpr["qk"])           # [hw, 2D]
+        q_img = qk[:, :D].astype(mdt["score"]).reshape(h, w, D)
         kpad_s[r:r + h, r:r + w, :] = (
-            qk[:, D:].astype(md).reshape(h, w, D))
+            qk[:, D:].astype(mdt["score"]).reshape(h, w, D))
         vpad_s[r:r + h, r:r + w, :] = (
-            _mm(tok_md, wv_ref[:, :]).astype(md).reshape(h, w, D))
+            _mm(tok_md, wv_ref[:, :],
+                mpr["v"]).astype(mdt["av"]).reshape(h, w, D))
 
         # ---- recompute post-chain from the saved attn, then backward ----
-        attn_f = attn_ref[vi].reshape(h * w, D)          # saved, md
-        x2 = _mm(attn_f, wo_ref[:, :]).astype(io) + tok
+        attn_f = attn_ref[vi].reshape(h * w, D).astype(mdt["wo"])  # saved
+        x2 = _mm(attn_f, wo_ref[:, :], mpr["wo"]).astype(io) + tok
         x2f = x2.astype(f32)
         mu2 = jnp.mean(x2f, axis=-1, keepdims=True)
         var2 = jnp.mean(jnp.square(x2f - mu2), axis=-1, keepdims=True)
         rstd2 = jax.lax.rsqrt(var2 + LN_EPS)
         xhat2 = (x2f - mu2) * rstd2
-        xn2 = (xhat2 * ln2w + ln2b).astype(md)
-        pre = _mm(xn2, w1_ref[:, :])                     # [hw, 2D] f32
-        hid = jax.nn.relu(pre).astype(md)
-        y = (_mm(hid, w2_ref[:, :]).astype(io) + x2)
+        xn2 = (xhat2 * ln2w + ln2b).astype(mdt["ffn"])
+        pre = _mm(xn2, w1_ref[:, :], mpr["ffn"])         # [hw, 2D] f32
+        hid = jax.nn.relu(pre).astype(mdt["ffn"])
+        y = (_mm(hid, w2_ref[:, :], mpr["ffn"]).astype(io) + x2)
 
-        dout = do_ref[vi].reshape(h * w, C).astype(md)
-        dy = _dgen(dout, wlin_ref[:, :], ((1,), (1,)))   # [hw, D] f32
-        a_wlin = a_wlin + _dgen(y.astype(md), dout, ((0,), (0,)))
-        dy_md = dy.astype(md)
-        dhid = _dgen(dy_md, w2_ref[:, :], ((1,), (1,)))  # [hw, 2D]
-        a_w2 = a_w2 + _dgen(hid, dy_md, ((0,), (0,)))
-        dpre_md = jnp.where(pre > 0, dhid, 0.0).astype(md)
-        a_w1 = a_w1 + _dgen(xn2, dpre_md, ((0,), (0,)))
-        dxn2 = _dgen(dpre_md, w1_ref[:, :], ((1,), (1,)))
+        dout = do_ref[vi].reshape(h * w, C).astype(mdt["lin"])
+        dy = _dgen(dout, wlin_ref[:, :], ((1,), (1,)),
+                   mpr["lin"])                           # [hw, D] f32
+        a_wlin = a_wlin + _dgen(y.astype(mdt["lin"]), dout, ((0,), (0,)),
+                                mpr["lin"])
+        dy_md = dy.astype(mdt["ffn"])
+        dhid = _dgen(dy_md, w2_ref[:, :], ((1,), (1,)),
+                     mpr["ffn"])                         # [hw, 2D]
+        a_w2 = a_w2 + _dgen(hid, dy_md, ((0,), (0,)), mpr["ffn"])
+        dpre_md = jnp.where(pre > 0, dhid, 0.0).astype(mdt["ffn"])
+        a_w1 = a_w1 + _dgen(xn2, dpre_md, ((0,), (0,)), mpr["ffn"])
+        dxn2 = _dgen(dpre_md, w1_ref[:, :], ((1,), (1,)), mpr["ffn"])
         dln2w = jnp.sum(dxn2 * xhat2, axis=0, keepdims=True)
         dln2b = jnp.sum(dxn2, axis=0, keepdims=True)
         dxh2 = dxn2 * ln2w
         dx2 = dy + rstd2 * (
             dxh2 - jnp.mean(dxh2, axis=-1, keepdims=True)
             - xhat2 * jnp.mean(dxh2 * xhat2, axis=-1, keepdims=True))
-        dx2_md = dx2.astype(md)
-        dattn = _dgen(dx2_md, wo_ref[:, :], ((1,), (1,)))
-        a_wo = a_wo + _dgen(attn_f, dx2_md, ((0,), (0,)))
-        dattn_img = dattn.astype(md).reshape(h, w, D)
+        dx2_md = dx2.astype(mdt["wo"])
+        dattn = _dgen(dx2_md, wo_ref[:, :], ((1,), (1,)), mpr["wo"])
+        a_wo = a_wo + _dgen(attn_f, dx2_md, ((0,), (0,)), mpr["wo"])
+        dattn_img = dattn.astype(mdt["av"]).reshape(h, w, D)
         dtok = dx2                                       # residual, f32
 
         # ---- attention backward per tile (spa_attn_hp identities) ----
@@ -474,22 +500,27 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
                 v_rep = _replicate(
                     vpad_s[ysl, xsl, :].reshape(nk, D), hm_ref,
                     num_heads, KB)
-                s = (_dgen(q_t, k_rep, ((1,), (1,))) * scale
+                s = (_dgen(q_t, k_rep, ((1,), (1,)), mpr["score"]) * scale
                      + mask_ref[:, :])
                 m_b = jnp.dot(ml_ref[vi, 0, t_idx], seg,
-                              preferred_element_type=f32)
+                              preferred_element_type=f32,
+                              precision=mpr["score"])
                 inv_b = jnp.dot(1.0 / ml_ref[vi, 1, t_idx], seg,
-                                preferred_element_type=f32)
+                                preferred_element_type=f32,
+                                precision=mpr["score"])
                 a_f = jnp.exp(s - m_b) * inv_b           # [nq, H*KB]
-                dov = _dgen(do_t, v_rep, ((1,), (1,)))
-                Dt = _seg(a_f * dov, num_heads, KB, segt_ref)
-                D_b = jnp.dot(Dt, seg, preferred_element_type=f32)
-                ds = (a_f * (dov - D_b) * scale).astype(md)
-                a_md = a_f.astype(md)
+                dov = _dgen(do_t, v_rep, ((1,), (1,)), mpr["av"])
+                Dt = _seg(a_f * dov, num_heads, KB, segt_ref, mpr["score"])
+                D_b = jnp.dot(Dt, seg, preferred_element_type=f32,
+                              precision=mpr["score"])
+                ds = (a_f * (dov - D_b) * scale).astype(mdt["score"])
+                a_md = a_f.astype(mdt["av"])
                 dq_s[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw, :] = (
-                    _dgen(ds, k_rep, ((1,), (0,))).reshape(th, tw, D))
-                dk_rep = _dgen(ds, q_t, ((0,), (0,)))    # [H*KB, D]
-                dv_rep = _dgen(a_md, do_t, ((0,), (0,)))
+                    _dgen(ds, k_rep, ((1,), (0,)),
+                          mpr["score"]).reshape(th, tw, D))
+                dk_rep = _dgen(ds, q_t, ((0,), (0,)),
+                               mpr["score"])             # [H*KB, D]
+                dv_rep = _dgen(a_md, do_t, ((0,), (0,)), mpr["av"])
                 dk_t = jnp.zeros((nk, D), f32)
                 dv_t = jnp.zeros((nk, D), f32)
                 for hd in range(num_heads):
@@ -502,15 +533,18 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
                                         + dv_t.reshape(hl_h, hl_w, D))
 
         # ---- projections, LN1, tokenization backward ----
-        dq_md = dq_s[:, :, :].reshape(h * w, D).astype(md)
-        dk_md = dkpad_s[r:r + h, r:r + w, :].reshape(h * w, D).astype(md)
-        dv_md = dvpad_s[r:r + h, r:r + w, :].reshape(h * w, D).astype(md)
-        dxn = (_dgen(dq_md, wqk_ref[:, :D], ((1,), (1,)))
-               + _dgen(dk_md, wqk_ref[:, D:], ((1,), (1,))))
+        dq_md = dq_s[:, :, :].reshape(h * w, D).astype(mdt["qk"])
+        dk_md = dkpad_s[r:r + h, r:r + w, :].reshape(
+            h * w, D).astype(mdt["qk"])
+        dv_md = dvpad_s[r:r + h, r:r + w, :].reshape(
+            h * w, D).astype(mdt["v"])
+        dxn = (_dgen(dq_md, wqk_ref[:, :D], ((1,), (1,)), mpr["qk"])
+               + _dgen(dk_md, wqk_ref[:, D:], ((1,), (1,)), mpr["qk"]))
         a_wqk = a_wqk + _dgen(
-            xn, jnp.concatenate([dq_md, dk_md], axis=1), ((0,), (0,)))
-        dtok = dtok + _dgen(dv_md, wv_ref[:, :], ((1,), (1,)))
-        a_wv = a_wv + _dgen(tok_md, dv_md, ((0,), (0,)))
+            xn, jnp.concatenate([dq_md, dk_md], axis=1), ((0,), (0,)),
+            mpr["qk"])
+        dtok = dtok + _dgen(dv_md, wv_ref[:, :], ((1,), (1,)), mpr["v"])
+        a_wv = a_wv + _dgen(tok_md, dv_md, ((0,), (0,)), mpr["v"])
         dln1w = jnp.sum(dxn * xhat1, axis=0, keepdims=True)
         dln1b = jnp.sum(dxn, axis=0, keepdims=True)
         a_ln = a_ln + jnp.concatenate([dln1w, dln1b, dln2w, dln2b], axis=0)
@@ -520,16 +554,17 @@ def _bwd_kernel(mask_ref, segt_ref, seg_ref, hm_ref, ln_ref,
             - xhat1 * jnp.mean(dxh1 * xhat1, axis=-1, keepdims=True))
         dtok = dtok + dtokpe
         a_pe = a_pe + dtokpe
-        dtok_md = dtok.astype(md)
+        dtok_md = dtok.astype(mdt["tok"])
         dxpad_s[:, :, :] = jnp.zeros_like(dxpad_s)
         for t9 in range(9):
             ky, kx = t9 // 3, t9 % 3
             a_wu[t9] = a_wu[t9] + _dgen(
                 xpad_s[ky:ky + h, kx:kx + w, :].reshape(h * w, C),
-                dtok_md, ((0,), (0,)))
+                dtok_md, ((0,), (0,)), mpr["tok"])
             dxpad_s[ky:ky + h, kx:kx + w, :] = (
                 dxpad_s[ky:ky + h, kx:kx + w, :]
-                + _dgen(dtok_md, wu_ref[t9], ((1,), (1,))).reshape(h, w, C))
+                + _dgen(dtok_md, wu_ref[t9], ((1,), (1,)),
+                        mpr["tok"]).reshape(h, w, C))
         dx_ref[vi] = dxpad_s[1:1 + h, 1:1 + w, :].astype(io)
 
     dpe_ref[:, :, :] = dpe_ref[:, :, :] + a_pe.reshape(h, w, D)
@@ -570,9 +605,15 @@ def _spa_vjp_bwd(num_heads, k, mm_half, res, dout):
     B, h, w, C = x.shape
     D = wu.shape[-1]
     r = k // 2
-    from lft_tpu.kernels.common import bwd_io_dtype
-    io = bwd_io_dtype(x.dtype)
-    md = jnp.bfloat16 if mm_half else io
+    from lft_tpu.kernels.common import bwd_io_dtype, mm_site_plan
+    io = bwd_io_dtype(x.dtype, mm_half)
+    # the backward has its OWN site plan (LFT_MM_HP_BWD_SITES, default
+    # none): gradients tolerate bf16 matmuls (recipe-validated,
+    # runs/ref_recipe_s4_mixed), and the all-f32 backward's VMEM blocks
+    # don't fit the production train geometry
+    sites = (mm_hp_sites("LFT_MM_HP_BWD_SITES", "none") if mm_half
+             else frozenset())
+    mdt, _ = mm_site_plan(mm_half, io, sites)
     th, tw, KB = pick_hp_geometry(h, w, num_heads, k)
     n_tiles = (h // th) * (w // tw)
     nq = th * tw
@@ -581,7 +622,7 @@ def _spa_vjp_bwd(num_heads, k, mm_half, res, dout):
     segt = jnp.asarray(_np_segsum_matrix(num_heads, KB))
     from lft_tpu.kernels.ang_attn_mxu import _seg_bcast_matrix
     seg = jnp.asarray(_seg_bcast_matrix(num_heads, KB))
-    hm = hm.astype(md)
+    hm = hm.astype(mdt["score"])
     f32 = jnp.float32
 
     V = int(os.environ.get("LFT_SPAB_BWD_VPS", "1") or 1)
@@ -591,7 +632,7 @@ def _spa_vjp_bwd(num_heads, k, mm_half, res, dout):
     x_p = pad4(x.astype(io))
     do_p = pad4(dout.astype(io))
     tok_p = pad4(tok.astype(io))
-    attn_p = pad4(attn.astype(md))
+    attn_p = pad4(attn.astype(mdt["wo"]))
     ml_p = pad4(ml)
     if pad_b:
         # pad views need finite stats: l=1 gives a finite 1/l, and a large
@@ -612,10 +653,11 @@ def _spa_vjp_bwd(num_heads, k, mm_half, res, dout):
                           lambda i: (i, 0, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel, h=h, w=w, th=th, tw=tw, r=r,
-                               KB=KB, num_heads=num_heads, mm_half=mm_half)
-    scratch = [pltpu.VMEM((h + 2, w + 2, C), md),          # xpad
-               pltpu.VMEM((h + 2 * r, w + 2 * r, D), md),  # kpad
-               pltpu.VMEM((h + 2 * r, w + 2 * r, D), md),  # vpad
+                               KB=KB, num_heads=num_heads, mm_half=mm_half,
+                               sites=sites)
+    scratch = [pltpu.VMEM((h + 2, w + 2, C), mdt["tok"]),        # xpad
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), mdt["score"]),  # kpad
+               pltpu.VMEM((h + 2 * r, w + 2 * r, D), mdt["av"]),     # vpad
                pltpu.VMEM((h, w, D), f32),                 # dq
                pltpu.VMEM((h + 2 * r, w + 2 * r, D), f32),  # dkpad
                pltpu.VMEM((h + 2 * r, w + 2 * r, D), f32),  # dvpad
@@ -640,8 +682,9 @@ def _spa_vjp_bwd(num_heads, k, mm_half, res, dout):
                    acc((D, 2 * D)), acc((2 * D, D)), acc((D, C))),
         scratch_shapes=scratch,
     )(mask, segt, seg, hm, ln.astype(f32),
-      pe_tok.astype(io), wu.astype(md), wqk.astype(md), wv_t.astype(md),
-      wo_t.astype(md), w1_t.astype(md), w2_t.astype(md), wlin_t.astype(md),
+      pe_tok.astype(io), wu.astype(mdt["tok"]), wqk.astype(mdt["qk"]),
+      wv_t.astype(mdt["v"]), wo_t.astype(mdt["wo"]), w1_t.astype(mdt["ffn"]),
+      w2_t.astype(mdt["ffn"]), wlin_t.astype(mdt["lin"]),
       x_p, tok_p, ml_p, attn_p, do_p)
     dx, dpe, dln, dwu, dwqk, dwv, dwo, dw1, dw2, dwlin = outs
     c = lambda g, t: g.astype(t.dtype)

@@ -267,11 +267,19 @@ def forward(params: Dict[str, jnp.ndarray], lr: jnp.ndarray, args,
     # "mixed": the shipping TPU precision mode -- f32 activations, residual
     # stream, LayerNorms and softmax (no bf16 cast noise accumulating over
     # the 8 transformer blocks, which measured -0.20 dB PSNR in the all-bf16
-    # config, PARITY_bf16.json r4), with matmul OPERANDS cast to bf16 so
-    # every contraction still runs at single-pass MXU rate (f32 accumulate).
+    # config, PARITY_bf16.json r4), with a PER-SITE matmul plan inside the
+    # fused block kernels (kernels/common.mm_site_plan: f32/HIGHEST for the
+    # hp sites, bf16 single-pass for the rest).
     mm_half = dt == "mixed"
     compute_dtype = jnp.float32 if mm_half else jnp.dtype(dt)
     prec = getattr(args, "matmul_precision", "default")
+    if mm_half and (not prec or prec == "default"):
+        # XLA's DEFAULT f32 matmul/conv on TPU rounds operands to bf16 --
+        # the conv stack, upsampler head and bicubic skip would silently
+        # undo the kernels' precision plan (the skip adds straight into
+        # the SR output). The XLA side is a small slice of the pipeline
+        # (docs/PERFORMANCE.md), so 'highest' there is nearly free.
+        prec = "highest"
     if prec and prec != "default":
         # trace the whole forward under the requested matmul precision
         # ('highest' => f32-exact parity mode; 'default' inherits ambient)

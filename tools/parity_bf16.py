@@ -171,7 +171,10 @@ def main(argv=None):
     # pin the artifact to the sources it measured, so bench.py's quality
     # gate can refuse a stale claim after kernel changes (ADVICE r4 item 4)
     from lft_tpu.utils.srchash import shipping_source_hash
+    from lft_tpu.kernels.common import mm_hp_sites
     result["source_hash"] = shipping_source_hash()
+    # ... and to the mixed-mode matmul site plan (LFT_MM_HP_SITES knob)
+    result["mm_hp_sites"] = sorted(mm_hp_sites())
     print(json.dumps({"dPSNR_mean": round(mean(d_psnr), 5),
                       "dSSIM_mean": round(mean(d_ssim), 7),
                       "dPSNR_worst": result["delta"]["psnr_worst"],
